@@ -1,0 +1,49 @@
+"""Kronecker-structured transform math.
+
+x @ (L kron R) computed as reshape -> (x @ R) -> (L^T @ x) -> reshape, turning
+an O(n^2) dense transform into two O(n*sqrt(n)) small matmuls. Parity target:
+flatquant/flat_utils.py:6-17 and the factor solver function_utils.py:11-21.
+
+Both small matmuls land on the MXU; for typical LLM dims the factors are
+64x64 .. 128x128, i.e. exactly one MXU tile.
+"""
+
+import math
+
+import jax.numpy as jnp
+
+
+def get_decompose_dim(n: int):
+    """Most-square factorization (a-b, a+b) with (a-b)(a+b) = n.
+
+    Examples: 4096 -> (64, 64), 11008 -> (86, 128), 14336 -> (112, 128).
+    """
+    a = int(math.isqrt(n))
+    if a * a < n:
+        a += 1
+    while True:
+        diff = a * a - n
+        b = int(math.isqrt(diff))
+        if b * b == diff:
+            break
+        a += 1
+    return a - b, a + b
+
+
+def kronecker_matmul(x, left, right):
+    """Compute x @ kron(left, right) for x [..., left_n * right_n].
+
+    Equivalent to reshaping the last dim to [left_n, right_n], applying
+    right on the right and left^T on the left.
+    """
+    init_shape = x.shape
+    ln, rn = left.shape[0], right.shape[0]
+    xm = x.reshape(-1, ln, rn)
+    xm = jnp.matmul(xm, right)
+    xm = jnp.matmul(left.T, xm)
+    return xm.reshape(init_shape)
+
+
+def kron_dense(left, right):
+    """Dense kron(left, right) — for tests and for baking tiny transforms."""
+    return jnp.kron(left, right)
