@@ -1,0 +1,119 @@
+"""FlatQuant run configuration (the args_utils.py analog, but typed).
+
+A single frozen dataclass that threads through model building, calibration,
+baking and serving. Field semantics track the reference CLI flags
+(flatquant/args_utils.py:28-161).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+from flatquant_tpu.core.quant import ActQuantCfg, WeightQuantCfg
+
+
+@dataclasses.dataclass(frozen=True)
+class FQConfig:
+    # bit widths
+    w_bits: int = 4
+    a_bits: int = 4
+    q_bits: int = 16
+    k_bits: int = 16
+    v_bits: int = 16
+    w_asym: bool = False
+    a_asym: bool = False
+    q_asym: bool = False
+    k_asym: bool = False
+    v_asym: bool = False
+    w_groupsize: int = -1
+    a_groupsize: int = -1
+    k_groupsize: int = -1
+    v_groupsize: int = -1
+
+    # learnable components
+    cali_trans: bool = True  # train transform factors
+    add_diag: bool = True  # learnable per-channel diag scale
+    lwc: bool = True  # learnable weight clipping
+    lac: bool = True  # learnable activation clipping
+    direct_inv: bool = False  # InvFactor instead of SVDFactor
+    separate_vtrans: bool = False
+
+    # diag init
+    diag_init: str = "sq_style"  # or "one_style"
+    diag_alpha: float = 0.3
+
+    # calibration hyperparams (train_utils.py defaults / w4a4 scripts)
+    epochs: int = 15
+    nsamples: int = 128
+    cali_bsz: int = 4
+    flat_lr: float = 5e-3
+    warmup: bool = False
+    deactive_amp: bool = False
+
+    # quantizer master switch (set_quantizer_state analog — flatness evals
+    # run transforms with quantization disabled, quant_utils.py:232-238)
+    quant_enabled: bool = True
+
+    # gptq
+    gptq: bool = False
+    gptq_percdamp: float = 0.01
+    gptq_act_order: bool = False
+    gptq_mse: bool = False
+
+    @property
+    def quantize(self) -> bool:
+        return min(self.w_bits, self.a_bits, self.q_bits, self.k_bits, self.v_bits) < 16
+
+    def _bits(self, b: int) -> int:
+        return b if self.quant_enabled else 16
+
+    @property
+    def w_cfg(self) -> WeightQuantCfg:
+        return WeightQuantCfg(
+            bits=self._bits(self.w_bits),
+            sym=not self.w_asym,
+            perchannel=True,
+            group_size=self.w_groupsize,
+        )
+
+    @property
+    def a_cfg(self) -> ActQuantCfg:
+        return ActQuantCfg(
+            bits=self._bits(self.a_bits),
+            sym=not self.a_asym,
+            lac=self.lac,
+            group_size=self.a_groupsize,
+        )
+
+    @property
+    def q_cfg(self) -> ActQuantCfg:
+        return ActQuantCfg(bits=self._bits(self.q_bits), sym=not self.q_asym, lac=self.lac)
+
+    @property
+    def k_cfg(self) -> ActQuantCfg:
+        return ActQuantCfg(
+            bits=self._bits(self.k_bits), sym=not self.k_asym, lac=self.lac, group_size=self.k_groupsize
+        )
+
+    @property
+    def v_cfg(self) -> ActQuantCfg:
+        return ActQuantCfg(
+            bits=self._bits(self.v_bits), sym=not self.v_asym, lac=self.lac, group_size=self.v_groupsize
+        )
+
+
+# the headline W4A4KV4 recipe (scripts/llama-3/llama-3-8b/w4a4kv4.sh)
+W4A4KV4 = FQConfig(
+    w_bits=4,
+    a_bits=4,
+    k_bits=4,
+    v_bits=4,
+    k_asym=True,
+    v_asym=True,
+    k_groupsize=128,
+    v_groupsize=128,
+)
+
+W4A4 = FQConfig(w_bits=4, a_bits=4)
+FP16 = FQConfig(w_bits=16, a_bits=16)
