@@ -174,11 +174,21 @@ def llama_layer(
     cos,
     sin,
     mask,
+    with_stats: bool = False,
 ):
-    """One decoder layer. lp: this layer's slice of params['layers']."""
+    """One decoder layer. lp: this layer's slice of params['layers'].
+
+    with_stats (fp mode only): also return per-channel activation absmax of
+    the three quantized-linear inputs (ln/up_gate/down) — the running-max
+    statistics the sq-style diag init needs (llama_utils.py:63-71,175-179).
+    """
     assert mode in MODES
     B, S, H = x.shape
     quant = mode != "fp" and fq is not None and fq_cfg is not None
+    stats = {}
+
+    def _absmax(t):
+        return jnp.max(jnp.abs(t.astype(jnp.float32)), axis=tuple(range(t.ndim - 1)))
 
     def linear(h, w, b, lin_st, qa_trans=None, out_trans=None):
         if not quant:
@@ -197,6 +207,8 @@ def llama_layer(
 
     # ---- attention ----
     h = rms_norm(x, lp["ln1_w"], cfg.rms_eps)
+    if with_stats:
+        stats["ln"] = _absmax(h)
     a = fq.attn if quant else None
     ln_trans = a.ln_trans if quant else None
     if quant and ln_trans is not None:
@@ -260,6 +272,8 @@ def llama_layer(
 
     # ---- mlp ----
     h2 = rms_norm(x, lp["ln2_w"], cfg.rms_eps)
+    if with_stats:
+        stats["up"] = _absmax(h2)
     m = fq.mlp if quant else None
     ug_trans = m.up_gate_trans if quant else None
     if quant and ug_trans is not None:
@@ -268,12 +282,17 @@ def llama_layer(
     up = linear(h2, lp["wup"], None, m.up_lin if quant else None, qa_trans=qa2)
     gate = linear(h2, lp["wgate"], None, m.gate_lin if quant else None, qa_trans=qa2)
     act = jax.nn.silu(gate) * up
+    if with_stats:
+        stats["down"] = _absmax(act)
     down_trans = m.down_trans if quant else None
     if quant and down_trans is not None:
         act = apply_decompose(down_trans, act)
     qa3 = down_trans if mode == "calib" else None
     down = linear(act, lp["wdown"], None, m.down_lin if quant else None, qa_trans=qa3)
-    return x + down
+    out = x + down
+    if with_stats:
+        return out, stats
+    return out
 
 
 # ---------------------------------------------------------------------------
