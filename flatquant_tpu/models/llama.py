@@ -175,17 +175,24 @@ def llama_layer(
     sin,
     mask,
     with_stats: bool = False,
+    with_linear_inputs: bool = False,
 ):
     """One decoder layer. lp: this layer's slice of params['layers'].
 
     with_stats (fp mode only): also return per-channel activation absmax of
     the three quantized-linear inputs (ln/up_gate/down) — the running-max
     statistics the sq-style diag init needs (llama_utils.py:63-71,175-179).
+
+    with_linear_inputs (eval mode): also return the pre-act-quant inputs of
+    the four linear groups {qkv, o, upgate, down} — the GPTQ Hessian
+    capture points (gptq_utils.py:37-50 hooks the .linear modules; act
+    fake-quant is re-applied by the GPTQ driver).
     """
     assert mode in MODES
     B, S, H = x.shape
     quant = mode != "fp" and fq is not None and fq_cfg is not None
     stats = {}
+    captures = {}
 
     def _absmax(t):
         return jnp.max(jnp.abs(t.astype(jnp.float32)), axis=tuple(range(t.ndim - 1)))
@@ -214,6 +221,8 @@ def llama_layer(
     if quant and ln_trans is not None:
         # eval mode: diag_scale was folded into ln1_w at bake time
         h = apply_decompose(ln_trans, h)
+    if with_linear_inputs:
+        captures["qkv"] = h
     qa = ln_trans if mode == "calib" else None
     out_v = None
     if mode == "calib" and a is not None and not fq_cfg.separate_vtrans:
@@ -261,6 +270,8 @@ def llama_layer(
         v_inv = single_matrix(a.vcache_trans, inv_t=True).astype(attn.dtype)
         attn = jnp.matmul(attn, v_inv.T)
     attn = attn.reshape(B, S, cfg.q_dim)
+    if with_linear_inputs:
+        captures["o"] = attn
     qa_o = None
     if mode == "calib" and a is not None and a.o_trans is not None and a.vcache_trans is not None:
         qa_o = (
@@ -278,6 +289,8 @@ def llama_layer(
     ug_trans = m.up_gate_trans if quant else None
     if quant and ug_trans is not None:
         h2 = apply_decompose(ug_trans, h2)
+    if with_linear_inputs:
+        captures["upgate"] = h2
     qa2 = ug_trans if mode == "calib" else None
     up = linear(h2, lp["wup"], None, m.up_lin if quant else None, qa_trans=qa2)
     gate = linear(h2, lp["wgate"], None, m.gate_lin if quant else None, qa_trans=qa2)
@@ -287,11 +300,15 @@ def llama_layer(
     down_trans = m.down_trans if quant else None
     if quant and down_trans is not None:
         act = apply_decompose(down_trans, act)
+    if with_linear_inputs:
+        captures["down"] = act
     qa3 = down_trans if mode == "calib" else None
     down = linear(act, lp["wdown"], None, m.down_lin if quant else None, qa_trans=qa3)
     out = x + down
     if with_stats:
         return out, stats
+    if with_linear_inputs:
+        return out, captures
     return out
 
 
