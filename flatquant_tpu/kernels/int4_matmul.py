@@ -1,0 +1,171 @@
+"""W4A8 GEMM Pallas kernel: int4-packed weights, int8 activations, MXU int8
+compute, fused dequant epilogue.
+
+Replaces the reference's CUTLASS int4b_t tensor-core GEMM + standalone
+sym_quant/sym_dequant CUDA kernels (deploy/kernels/gemm.cu:16-26,
+quant.cu:13-101). TPU-native design:
+
+  - Weights live in HBM packed 2 int4 / byte in a *planar* layout
+    (byte column c holds element k=c in the low nibble and k=c+K/2 in the
+    high nibble), so a tile unpacks to int8 with one concat — no strided
+    VMEM stores, which Mosaic cannot do.
+  - Activations are bf16 *codes* on the int4 grid [-8, 7] with per-token
+    fp32 scales (int4 storage for activations buys nothing on TPU, and
+    activation bytes are negligible next to weights).
+  - Codes multiply on the bf16 MXU path with fp32 accumulation: integer
+    products (|q| <= 8*7, sums < 2^24 for K <= 260k) are exact, so this is
+    bit-identical to integer GEMM while avoiding Mosaic's unsupported int8
+    vector ops (arith.subi on i8 fails to legalize); measured int8 and bf16
+    MXU throughput are equal on v5e anyway.
+  - The nibble unpack runs as int32 *register* arithmetic inside the kernel
+    (no materialized intermediate) straight into the bf16 operand.
+  - The epilogue fuses scale_row * scale_col dequant (the reference's
+    separate sym_dequant kernel) into the same Pallas block.
+
+Why this wins: decode is HBM-bandwidth-bound; weight traffic drops 4x vs
+bf16 weights while MXU throughput is unchanged, so prefill never loses.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+# ---------------------------------------------------------------------------
+# packing (host/load-time)
+# ---------------------------------------------------------------------------
+
+
+def pack_weight_planar(q):
+    """Pack int8 codes [N, K] (values in [-8, 7]) to planar uint8 [N, K/2].
+
+    Biased encoding: nibble = q + 8 in [0, 15], so the kernel can feed raw
+    nibbles to the MXU and fold the -8 zero-point into the epilogue as an
+    affine correction (code = nibble - 8 exactly). Planar layout:
+    byte c = (q[:, c] + 8) | ((q[:, c + K/2] + 8) << 4).
+    """
+    n, k = q.shape
+    assert k % 2 == 0
+    u = (q.astype(jnp.int16) + 8).astype(jnp.uint8)
+    lo = u[:, : k // 2]
+    hi = u[:, k // 2 :]
+    return lo | (hi << 4)
+
+
+def unpack_weight_planar(wp):
+    """Inverse of pack_weight_planar -> int8 [N, K]."""
+    lo = (wp & 0xF).astype(jnp.int16) - 8
+    hi = ((wp >> 4) & 0xF).astype(jnp.int16) - 8
+    return jnp.concatenate([lo, hi], axis=1).astype(jnp.int8)
+
+
+# ---------------------------------------------------------------------------
+# activation quantization (per-token, symmetric int4 grid, int8 codes)
+# ---------------------------------------------------------------------------
+
+
+def quantize_acts_sym(x, q_max: int = 7, clip_max=None):
+    """Per-token symmetric quant to int8 codes on the [-q_max-1, q_max] grid.
+
+    Matches deploy/nn/quantization.py:5-44 (absmax/q_max scale, optional
+    sigmoid-clipped LAC factor). Returns (codes bf16 — exact small ints for
+    the MXU bf16 path — and scales fp32 [T, 1]).
+    """
+    xf = x.astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+    if clip_max is not None:
+        absmax = absmax * jax.nn.sigmoid(clip_max)
+    scale = jnp.where(absmax == 0, 1.0, absmax / q_max)
+    q = jnp.clip(jnp.round(xf / scale), -q_max - 1, q_max).astype(jnp.bfloat16)
+    return q, scale
+
+
+# ---------------------------------------------------------------------------
+# the kernel
+# ---------------------------------------------------------------------------
+
+
+def _w4a8_kernel(x_ref, wp_ref, sx_ref, sw_ref, o_ref, *, out_dtype):
+    # Feed raw nibbles (0..15) to the MXU and fold the -8 zero-point into
+    # the epilogue: sum_k x*(nib-8) = sum_k x*nib - 8*sum_k x. This halves
+    # the VPU unpack chain (no xor/sub per element).
+    wp = wp_ref[:].astype(jnp.int32)
+    lo = wp & 0xF
+    hi = wp >> 4
+    nib = jnp.concatenate([lo, hi], axis=1).astype(jnp.bfloat16)  # [TN, K]
+    x = x_ref[:]
+    acc = jax.lax.dot_general(
+        x, nib, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [TM, TN] exact integer-valued fp32
+    x_rowsum = jnp.sum(x.astype(jnp.float32), axis=1, keepdims=True)  # [TM, 1]
+    out = (acc - 8.0 * x_rowsum) * sx_ref[:] * sw_ref[:]
+    o_ref[:] = out.astype(out_dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("out_dtype", "block_m", "block_n", "interpret")
+)
+def w4a8_matmul(
+    x_q,
+    x_scale,
+    w_packed,
+    w_scale,
+    out_dtype=jnp.bfloat16,
+    block_m: int = 256,
+    block_n: int = 256,
+    interpret: bool = False,
+):
+    """y[M, N] = dequant( x_q[M, K] @ unpack(w_packed)[N, K]^T ).
+
+    x_q: int8 codes, x_scale: [M, 1] fp32, w_packed: [N, K/2] uint8 planar,
+    w_scale: [N] fp32 per-out-channel.
+    """
+    m, k = x_q.shape
+    n = w_packed.shape[0]
+    assert w_packed.shape[1] * 2 == k
+    bm = min(block_m, m)
+    bn = min(block_n, n)
+    grid = (pl.cdiv(m, bm), pl.cdiv(n, bn))
+    sw = w_scale.reshape(1, n).astype(jnp.float32)
+    sx = x_scale.reshape(m, 1).astype(jnp.float32)
+
+    return pl.pallas_call(
+        functools.partial(_w4a8_kernel, out_dtype=out_dtype),
+        out_shape=jax.ShapeDtypeStruct((m, n), out_dtype),
+        grid_spec=pl.GridSpec(
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((bm, k), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec(
+                    (bn, k // 2), lambda i, j: (j, 0), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec((bm, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (bm, bn), lambda i, j: (i, j), memory_space=pltpu.VMEM
+            ),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m * n * k,
+            bytes_accessed=m * k + n * k // 2 + m * n * jnp.dtype(out_dtype).itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x_q, w_packed, sx, sw)
+
+
+def w4a8_matmul_ref(x_q, x_scale, w_packed, w_scale, out_dtype=jnp.bfloat16):
+    """Pure-XLA reference (and CPU fallback) for the kernel."""
+    w = unpack_weight_planar(w_packed).astype(jnp.float32)
+    acc = jax.lax.dot_general(
+        x_q.astype(jnp.float32), w, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    out = acc * x_scale.reshape(-1, 1) * w_scale.reshape(1, -1)
+    return out.astype(out_dtype)
