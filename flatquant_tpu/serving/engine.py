@@ -1,0 +1,238 @@
+"""Serving engine: prefill/decode with KV cache over the packed int4 model.
+
+Mirrors the reference deploy semantics (SURVEY 3.3):
+  - prefill attends with *unquantized* (transformed) K/V while writing the
+    quantized entries into the cache (modeling_llama.py:125-137 /
+    kv_cache.py:310-342)
+  - decode attends fully over the quantized cache, with q rotated by
+    Pk^{-T} into the transformed K space (kv_cache.py:343-359)
+  - KV entries are asym-int4 per (token, head) with the k-transform applied
+    pre-quant (kv_cache.py:267-289)
+
+Cache v1 stores dequantized bf16 values (quantization error applied at
+write): accuracy-identical to int4 storage, no bandwidth win yet; the
+packed int4 cache + Pallas flash-decode kernel replaces the storage layer
+without touching this control flow.
+
+The whole decode step (all layers + sampling logits) is one jitted
+function with `lax.scan` over layers; cache updates are functional
+(donated buffers avoid copies under jit).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from flatquant_tpu.models.config import LlamaConfig
+from flatquant_tpu.models.llama import rms_norm, rope_tables
+from flatquant_tpu.quantize.spec import FQConfig
+from flatquant_tpu.serving.quantized import (
+    _quant_linear,
+    dequantize_kv,
+    kron_transform,
+    quantize_kv_asym,
+)
+
+
+def init_cache(cfg: LlamaConfig, batch: int, max_len: int, dtype=jnp.bfloat16):
+    shape = (cfg.num_layers, batch, max_len, cfg.num_kv_heads, cfg.head_dim)
+    return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+
+
+def _apply_head_matrix(t, mat):
+    """t [..., h, d] @ mat [d, d]."""
+    return jnp.matmul(t.astype(mat.dtype), mat)
+
+
+def _rope_slice(cfg, max_len: int):
+    cos, sin = rope_tables(cfg, jnp.arange(max_len))
+    return cos, sin
+
+
+def serving_layer(
+    cfg: LlamaConfig,
+    fq_cfg: FQConfig,
+    sl: dict,
+    x,
+    cos,
+    sin,
+    ck,
+    cv,
+    pos,
+    phase: str,
+    use_kernel: bool,
+    compute_dtype=jnp.bfloat16,
+):
+    """One quantized decoder layer.
+
+    x: [B, S, H]; ck/cv: this layer's cache [B, Smax, nkv, hd];
+    pos: first position index of x (prefill: 0, decode: current length).
+    Returns (x_out, ck, cv).
+    """
+    B, S, H = x.shape
+    nh, nkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    k4 = fq_cfg.k_cfg.enabled
+    v4 = fq_cfg.v_cfg.enabled
+
+    def qlin(h, lin, bias=None):
+        y = _quant_linear(h.reshape(-1, h.shape[-1]), lin, use_kernel, compute_dtype)
+        y = y.reshape(h.shape[:-1] + (lin["scale"].shape[0],))
+        if bias is not None:
+            y = y + bias.astype(y.dtype)
+        return y
+
+    # ---- attention ----
+    h = rms_norm(x, sl["ln1_w"], cfg.rms_eps)
+    if "ln_t" in sl:
+        h = kron_transform(h, sl["ln_t"])
+    q = qlin(h, sl["q"], sl.get("bq"))
+    k = qlin(h, sl["k"], sl.get("bk"))
+    v = qlin(h, sl["v"], sl.get("bv"))
+    q = q.reshape(B, S, nh, hd)
+    k = k.reshape(B, S, nkv, hd)
+    v = v.reshape(B, S, nkv, hd)
+
+    # rope at absolute positions [pos, pos+S)
+    cos_s = jax.lax.dynamic_slice_in_dim(cos, pos, S, axis=0)
+    sin_s = jax.lax.dynamic_slice_in_dim(sin, pos, S, axis=0)
+    from flatquant_tpu.models.llama import apply_rope
+
+    q, k = apply_rope(q, k, cos_s, sin_s)
+
+    # K-space transform: cache holds k·Pk; queries move to the same space
+    if "k_t" in sl:
+        k = _apply_head_matrix(k, sl["k_t"])
+        q = _apply_head_matrix(q, sl["k_t_inv"])
+
+    # quantize cache entries (asym per token-head)
+    if k4:
+        kq, ks, kz = quantize_kv_asym(k, sl.get("kc_clip"))
+        k_store = dequantize_kv(kq, ks, kz)
+    else:
+        k_store = k.astype(ck.dtype)
+    if v4:
+        vq, vs, vz = quantize_kv_asym(v, sl.get("vc_clip"))
+        v_store = dequantize_kv(vq, vs, vz)
+    else:
+        v_store = v.astype(cv.dtype)
+
+    ck = jax.lax.dynamic_update_slice_in_dim(ck, k_store, pos, axis=1)
+    cv = jax.lax.dynamic_update_slice_in_dim(cv, v_store, pos, axis=1)
+
+    # ---- attention scores ----
+    n_rep = nh // nkv
+    if phase == "prefill":
+        # attend over the *unquantized* transformed k/v (reference prefill
+        # accuracy trick), causal within the prompt
+        k_att, v_att = k, v
+        kv_len = S
+        causal = jnp.tril(jnp.ones((S, S), bool))
+        bias = jnp.where(causal, 0.0, -1e9)[None, None]
+    else:
+        kv_len = ck.shape[1]
+        k_att, v_att = ck, cv
+        # valid positions: <= pos + S - 1
+        ids = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, kv_len), 3)
+        bias = jnp.where(ids <= pos + S - 1, 0.0, -1e9)
+    if n_rep > 1:
+        k_att = jnp.repeat(k_att, n_rep, axis=2)
+        v_att = jnp.repeat(v_att, n_rep, axis=2)
+    scores = jnp.einsum(
+        "bqhd,bkhd->bhqk", q.astype(compute_dtype), k_att.astype(compute_dtype)
+    )
+    scores = scores.astype(jnp.float32) / np.sqrt(hd) + bias
+    probs = jax.nn.softmax(scores, axis=-1).astype(compute_dtype)
+    attn = jnp.einsum("bhqk,bkhd->bqhd", probs, v_att.astype(compute_dtype))
+
+    # ---- output path ----
+    if "o_t" in sl:
+        o_mat = sl["o_t"]
+        attn = jnp.einsum("ji,bsjd->bsid", o_mat.astype(attn.dtype), attn)
+    elif "v_t_inv" in sl:
+        attn = jnp.matmul(attn, sl["v_t_inv"].T.astype(attn.dtype))
+    attn = attn.reshape(B, S, nh * hd)
+    x = x + qlin(attn, sl["o"])
+
+    # ---- mlp ----
+    h2 = rms_norm(x, sl["ln2_w"], cfg.rms_eps)
+    if "ug_t" in sl:
+        h2 = kron_transform(h2, sl["ug_t"])
+    up = qlin(h2, sl["up"])
+    gate = qlin(h2, sl["gate"])
+    act = jax.nn.silu(gate) * up
+    if "down_t" in sl:
+        act = kron_transform(act, sl["down_t"])
+    x = x + qlin(act, sl["down"])
+    return x, ck, cv
+
+
+def _forward(cfg, fq_cfg, sp, tokens, cache, pos, phase, use_kernel, max_len,
+             compute_dtype=jnp.bfloat16):
+    B, S = tokens.shape
+    x = sp["embed"][tokens].astype(compute_dtype)
+    cos, sin = _rope_slice(cfg, max_len)
+
+    def body(carry, xs):
+        x = carry
+        sl, ck, cv = xs
+        x, ck, cv = serving_layer(
+            cfg, fq_cfg, sl, x, cos, sin, ck, cv, pos, phase, use_kernel,
+            compute_dtype,
+        )
+        return x, (ck, cv)
+
+    x, (ck_new, cv_new) = jax.lax.scan(body, x, (sp["layers"], cache["k"], cache["v"]))
+    x = rms_norm(x, sp["final_norm_w"], cfg.rms_eps)
+    logits = jnp.matmul(x[:, -1], sp["lm_head"].T.astype(x.dtype))
+    return logits.astype(jnp.float32), {"k": ck_new, "v": cv_new}
+
+
+@partial(jax.jit, static_argnames=("cfg", "fq_cfg", "use_kernel", "max_len", "compute_dtype"))
+def serving_prefill(cfg, fq_cfg, sp, tokens, cache, use_kernel=True, max_len=2048,
+                    compute_dtype=jnp.bfloat16):
+    """Process the prompt; returns (last-token logits [B, V], cache)."""
+    return _forward(cfg, fq_cfg, sp, tokens, cache, 0, "prefill", use_kernel,
+                    max_len, compute_dtype)
+
+
+@partial(jax.jit, static_argnames=("cfg", "fq_cfg", "use_kernel", "max_len", "compute_dtype"), donate_argnames=("cache",))
+def serving_decode_step(cfg, fq_cfg, sp, token, cache, pos, use_kernel=True,
+                        max_len=2048, compute_dtype=jnp.bfloat16):
+    """One decode step. token: [B, 1] int32, pos: scalar current length."""
+    return _forward(cfg, fq_cfg, sp, token, cache, pos, "decode", use_kernel,
+                    max_len, compute_dtype)
+
+
+def generate(
+    cfg: LlamaConfig,
+    fq_cfg: FQConfig,
+    sp: dict,
+    prompt: np.ndarray,
+    max_new_tokens: int = 32,
+    max_len: int = 2048,
+    use_kernel: bool = True,
+):
+    """Greedy generation (host loop over jitted steps)."""
+    B, S = prompt.shape
+    cache = init_cache(cfg, B, max_len)
+    logits, cache = serving_prefill(
+        cfg, fq_cfg, sp, jnp.asarray(prompt), cache, use_kernel=use_kernel, max_len=max_len
+    )
+    out = []
+    tok = jnp.argmax(logits, axis=-1)[:, None].astype(jnp.int32)
+    pos = S
+    for _ in range(max_new_tokens):
+        out.append(np.asarray(tok))
+        logits, cache = serving_decode_step(
+            cfg, fq_cfg, sp, tok, cache, jnp.int32(pos), use_kernel=use_kernel, max_len=max_len
+        )
+        tok = jnp.argmax(logits, axis=-1)[:, None].astype(jnp.int32)
+        pos += 1
+    return np.concatenate(out, axis=1)

