@@ -1,0 +1,134 @@
+"""Driver benchmark: W4A4KV4 decode throughput vs bf16 on the real TPU chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+vs_baseline compares our decode speedup ratio against the reference's
+published decode speedup at bsz 1 on RTX3090 (0.71x, README.md:304 — the
+FlatQuant decode path is *slower* than FP16 there; beating 0.71 means our
+TPU decode stack does relatively better than the reference's CUDA stack).
+
+Measurement notes for this environment (see .claude/skills/verify/SKILL.md):
+~35 ms fixed dispatch latency per jitted call through the axon tunnel, so
+decode steps are chained inside one jitted fori_loop; runs are interleaved
+and the best of several repetitions taken.
+"""
+
+import dataclasses
+import json
+import sys
+import time
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_tpu_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from flatquant_tpu.models.config import LlamaConfig, get_config, register
+from flatquant_tpu.models.llama import init_params
+from flatquant_tpu.quantize.bake import bake_model
+from flatquant_tpu.quantize.spec import W4A4KV4
+from flatquant_tpu.quantize.state import init_model_fq
+from flatquant_tpu.serving.baseline import bf16_decode_step, build_bf16_params
+from flatquant_tpu.serving.engine import init_cache, serving_decode_step
+from flatquant_tpu.serving.quantized import build_serving_params
+
+# llama-2-7b layer dims, trimmed depth so bf16 weights + caches fit the
+# single tunnel chip comfortably; per-layer cost is what the speedup measures
+BENCH_CFG = dataclasses.replace(
+    get_config("llama-2-7b"), name="bench-llama", num_layers=8, vocab_size=32000
+)
+N_STEPS = 32
+BATCH = 1
+MAX_LEN = 512
+START_POS = 256
+
+
+def _decode_loop_quant(cfg, fq_cfg, sp, tok, cache, pos, n_steps, max_len):
+    def body(i, carry):
+        tok, cache, acc = carry
+        logits, cache = serving_decode_step.__wrapped__(
+            cfg, fq_cfg, sp, tok, cache, pos + i, True, max_len, jnp.bfloat16
+        )
+        nxt = jnp.argmax(logits, -1)[:, None].astype(jnp.int32)
+        return nxt, cache, acc + jnp.sum(logits)
+
+    tok, cache, acc = jax.lax.fori_loop(0, n_steps, body, (tok, cache, 0.0))
+    return acc
+
+
+def _decode_loop_bf16(cfg, bp, tok, cache, pos, n_steps, max_len):
+    def body(i, carry):
+        tok, cache, acc = carry
+        logits, cache = bf16_decode_step.__wrapped__(cfg, bp, tok, cache, pos + i, max_len)
+        nxt = jnp.argmax(logits, -1)[:, None].astype(jnp.int32)
+        return nxt, cache, acc + jnp.sum(logits)
+
+    tok, cache, acc = jax.lax.fori_loop(0, n_steps, body, (tok, cache, 0.0))
+    return acc
+
+
+def main():
+    cfg = BENCH_CFG
+    fq_cfg = W4A4KV4
+    params = init_params(cfg, seed=0)
+    fq = init_model_fq(cfg, fq_cfg, seed=0)
+    baked, baked_fq = bake_model(cfg, fq_cfg, params, fq)
+    sp = jax.device_put(build_serving_params(cfg, fq_cfg, baked, baked_fq))
+    bp = jax.device_put(build_bf16_params(cfg, params))
+    del params, baked, fq, baked_fq
+
+    tok = jnp.zeros((BATCH, 1), jnp.int32)
+    pos = jnp.int32(START_POS)
+
+    quant_loop = jax.jit(
+        partial(_decode_loop_quant, cfg, fq_cfg, n_steps=N_STEPS, max_len=MAX_LEN)
+    )
+    bf16_loop = jax.jit(
+        partial(_decode_loop_bf16, cfg, n_steps=N_STEPS, max_len=MAX_LEN)
+    )
+
+    cache_q = init_cache(cfg, BATCH, MAX_LEN)
+    cache_b = init_cache(cfg, BATCH, MAX_LEN)
+    # warmup / compile
+    float(quant_loop(sp, tok, cache_q, pos))
+    float(bf16_loop(bp, tok, cache_b, pos))
+
+    tq, tb = [], []
+    for _ in range(5):  # interleaved to cancel tunnel-chip drift
+        t0 = time.perf_counter()
+        float(quant_loop(sp, tok, cache_q, pos))
+        tq.append((time.perf_counter() - t0) / N_STEPS)
+        t0 = time.perf_counter()
+        float(bf16_loop(bp, tok, cache_b, pos))
+        tb.append((time.perf_counter() - t0) / N_STEPS)
+
+    t_quant = min(tq)
+    t_bf16 = min(tb)
+    speedup = t_bf16 / t_quant
+    ref_decode_speedup = 0.71  # README.md:304, bsz 1
+    print(
+        json.dumps(
+            {
+                "metric": "llama2-7b-dims(8L) W4A4KV4 decode speedup vs bf16, bsz1",
+                "value": round(speedup, 4),
+                "unit": "x",
+                "vs_baseline": round(speedup / ref_decode_speedup, 4),
+                "detail": {
+                    "t_decode_quant_ms": round(t_quant * 1e3, 3),
+                    "t_decode_bf16_ms": round(t_bf16 * 1e3, 3),
+                    "steps": N_STEPS,
+                    "tok_s_quant": round(BATCH / t_quant, 1),
+                    "tok_s_bf16": round(BATCH / t_bf16, 1),
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,84 @@
+"""Device mesh + sharding specs.
+
+TPU-native replacement for the reference's explicit NCCL plumbing
+(deepseek_v3/model.py:87-264 Column/RowParallelLinear + all_reduce,
+vllm TP groups): one `jax.sharding.Mesh` with named axes and
+PartitionSpec trees; GSPMD inserts the collectives (psum for row-parallel
+contractions, all-gather for vocab-parallel logits) and overlaps them with
+compute via the latency-hiding scheduler.
+
+Axes:
+  dp — data parallel (calibration batch; replicated weights)
+  tp — tensor parallel (attention heads / mlp intermediate; megatron-style
+       col->row pairing so each decoder layer needs exactly two psums)
+
+Specs mirror the reference TP plan (SURVEY 2.3): q/k/v/up/gate out-sharded
+(column-parallel, no comm), o/down in-sharded (row-parallel, psum),
+lm_head vocab-sharded with gathered logits.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import numpy as np
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from flatquant_tpu.models.config import LlamaConfig
+
+
+def make_mesh(axes: Dict[str, int], devices=None) -> Mesh:
+    """Mesh from {axis: size}; sizes must multiply to the device count."""
+    devices = devices if devices is not None else jax.devices()
+    names = tuple(axes)
+    sizes = tuple(axes.values())
+    assert int(np.prod(sizes)) == len(devices), (
+        f"mesh {axes} needs {int(np.prod(sizes))} devices, have {len(devices)}"
+    )
+    dev_array = np.asarray(devices).reshape(sizes)
+    return Mesh(dev_array, names)
+
+
+def llama_param_specs(cfg: LlamaConfig, params: dict) -> dict:
+    """PartitionSpec tree for the fp model params (stacked [L, ...])."""
+    layer_specs = {
+        "ln1_w": P(None, None),
+        "ln2_w": P(None, None),
+        # column-parallel: shard out_features (dim 1 of [L, out, in])
+        "wq": P(None, "tp", None),
+        "wk": P(None, "tp", None),
+        "wv": P(None, "tp", None),
+        "wup": P(None, "tp", None),
+        "wgate": P(None, "tp", None),
+        # row-parallel: shard in_features (dim 2)
+        "wo": P(None, None, "tp"),
+        "wdown": P(None, None, "tp"),
+    }
+    for bkey in ("bq", "bk", "bv"):
+        if bkey in params["layers"]:
+            layer_specs[bkey] = P(None, "tp")
+    specs = {
+        "embed": P(None, None),
+        "final_norm_w": P(None),
+        "layers": layer_specs,
+    }
+    if "lm_head" in params:
+        specs["lm_head"] = P("tp", None)  # vocab-parallel head
+    return specs
+
+
+def replicated_specs(tree) -> object:
+    return jax.tree.map(lambda _: P(), tree)
+
+
+def shard_tree(tree, specs, mesh: Mesh):
+    """device_put a pytree according to a PartitionSpec tree."""
+    return jax.tree.map(
+        lambda a, s: jax.device_put(a, NamedSharding(mesh, s)), tree, specs
+    )
+
+
+def batch_spec() -> P:
+    return P("dp")

@@ -1,0 +1,64 @@
+"""Multi-device sharding tests on the 8-device virtual CPU mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from flatquant_tpu.models.config import get_config
+from flatquant_tpu.models.llama import init_params, llama_forward
+from flatquant_tpu.parallel.mesh import (
+    llama_param_specs,
+    make_mesh,
+    replicated_specs,
+    shard_tree,
+)
+from flatquant_tpu.quantize.spec import W4A4KV4
+from flatquant_tpu.quantize.state import init_model_fq
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    assert len(jax.devices()) == 8, "conftest must provide 8 virtual devices"
+    return make_mesh({"dp": 2, "tp": 4})
+
+
+def test_sharded_forward_matches_single_device(mesh8):
+    cfg = get_config("tiny-llama")
+    params = init_params(cfg, seed=0)
+    fq = init_model_fq(cfg, W4A4KV4, seed=0)
+    tokens = np.random.default_rng(0).integers(0, cfg.vocab_size, (4, 16)).astype(np.int32)
+
+    ref = llama_forward(cfg, params, jnp.asarray(tokens), fq=fq, fq_cfg=W4A4KV4,
+                        mode="calib", compute_dtype=jnp.float32)
+
+    sharded_params = shard_tree(params, llama_param_specs(cfg, params), mesh8)
+    sharded_fq = shard_tree(fq, replicated_specs(fq), mesh8)
+    toks = jax.device_put(jnp.asarray(tokens), NamedSharding(mesh8, P("dp", None)))
+
+    @jax.jit
+    def fwd(p, f, t):
+        return llama_forward(cfg, p, t, fq=f, fq_cfg=W4A4KV4, mode="calib",
+                             compute_dtype=jnp.float32)
+
+    out = fwd(sharded_params, sharded_fq, toks)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4)
+
+
+def test_graft_entry_contract():
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "__graft_entry__",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     "__graft_entry__.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    fn, args = mod.entry()
+    out = jax.jit(fn)(*args)
+    assert out.shape[0] == args[2].shape[0]
+    mod.dryrun_multichip(8)

@@ -1,0 +1,110 @@
+"""Checkpoint roundtrips and the CLI pipeline smoke test."""
+
+import os
+import subprocess
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from flatquant_tpu.models.config import get_config
+from flatquant_tpu.models.llama import init_params
+from flatquant_tpu.quantize.bake import bake_model
+from flatquant_tpu.quantize.spec import W4A4KV4
+from flatquant_tpu.quantize.state import init_model_fq
+from flatquant_tpu.serving.quantized import build_serving_params
+from flatquant_tpu.utils import checkpoint as ckpt
+
+
+def _trees_equal(a, b):
+    leaves_a = jax.tree.leaves(a)
+    leaves_b = jax.tree.leaves(b)
+    return all(np.array_equal(np.asarray(x), np.asarray(y)) for x, y in zip(leaves_a, leaves_b))
+
+
+def test_flat_parameters_roundtrip(tmp_path):
+    cfg = get_config("tiny-llama")
+    fq = init_model_fq(cfg, W4A4KV4, seed=0)
+    ckpt.save_flat_parameters(str(tmp_path), fq)
+    template = init_model_fq(cfg, W4A4KV4, seed=99)  # different values, same structure
+    loaded = ckpt.load_flat_parameters(str(tmp_path), template)
+    assert _trees_equal(fq, loaded)
+
+
+def test_flat_matrices_roundtrip(tmp_path):
+    cfg = get_config("tiny-llama")
+    params = init_params(cfg, seed=0)
+    fq = init_model_fq(cfg, W4A4KV4, seed=0)
+    _, baked_fq = bake_model(cfg, W4A4KV4, params, fq)
+    ckpt.save_flat_matrices(str(tmp_path), baked_fq)
+    _, template = bake_model(cfg, W4A4KV4, params, init_model_fq(cfg, W4A4KV4, seed=7))
+    loaded = ckpt.load_flat_matrices(str(tmp_path), template)
+    assert _trees_equal(baked_fq, loaded)
+
+
+def test_packed_safetensors_roundtrip(tmp_path):
+    cfg = get_config("tiny-llama")
+    params = init_params(cfg, seed=0)
+    fq = init_model_fq(cfg, W4A4KV4, seed=0)
+    baked, baked_fq = bake_model(cfg, W4A4KV4, params, fq)
+    sp = build_serving_params(cfg, W4A4KV4, baked, baked_fq)
+    path = ckpt.save_packed_safetensors(str(tmp_path), sp, {"w_bits": 4})
+    assert os.path.exists(path)
+    # template with different values, same structure
+    sp2 = build_serving_params(
+        cfg, W4A4KV4, *bake_model(cfg, W4A4KV4, init_params(cfg, seed=5),
+                                  init_model_fq(cfg, W4A4KV4, seed=5))
+    )
+    loaded = ckpt.load_packed_safetensors(path, sp2)
+    assert _trees_equal(sp, loaded)
+
+
+def test_hf_loader_roundtrip(tmp_path):
+    """Export a random model in HF naming, reload, compare."""
+    from safetensors.numpy import save_file
+
+    from flatquant_tpu.models.loader import load_hf_llama
+
+    cfg = get_config("tiny-qwen")
+    params = init_params(cfg, seed=0)
+    tensors = {
+        "model.embed_tokens.weight": np.asarray(params["embed"]),
+        "model.norm.weight": np.asarray(params["final_norm_w"]),
+    }
+    name_map = {
+        "ln1_w": "input_layernorm.weight",
+        "ln2_w": "post_attention_layernorm.weight",
+        "wq": "self_attn.q_proj.weight",
+        "wk": "self_attn.k_proj.weight",
+        "wv": "self_attn.v_proj.weight",
+        "wo": "self_attn.o_proj.weight",
+        "bq": "self_attn.q_proj.bias",
+        "bk": "self_attn.k_proj.bias",
+        "bv": "self_attn.v_proj.bias",
+        "wgate": "mlp.gate_proj.weight",
+        "wup": "mlp.up_proj.weight",
+        "wdown": "mlp.down_proj.weight",
+    }
+    for key, hf in name_map.items():
+        arr = np.asarray(params["layers"][key])
+        for i in range(cfg.num_layers):
+            tensors[f"model.layers.{i}.{hf}"] = arr[i]
+    save_file(tensors, str(tmp_path / "model.safetensors"))
+    loaded = load_hf_llama(str(tmp_path), cfg)
+    assert _trees_equal(params, loaded)
+
+
+def test_cli_pipeline_smoke(tmp_path):
+    env = dict(os.environ)
+    cmd = [
+        sys.executable, "main.py", "--platform", "cpu", "--model", "tiny-llama",
+        "--w_bits", "4", "--a_bits", "4", "--cali_trans", "--lwc",
+        "--epochs", "1", "--nsamples", "4", "--cali_bsz", "2", "--seqlen", "16",
+        "--eval_ppl", "--output_dir", str(tmp_path),
+    ]
+    r = subprocess.run(cmd, capture_output=True, text=True, timeout=900,
+                       cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "PPL" in r.stderr or "PPL" in r.stdout
