@@ -75,12 +75,18 @@ def _decode_loop_bf16(cfg, bp, tok, cache, pos, n_steps, max_len):
 def main():
     cfg = BENCH_CFG
     fq_cfg = W4A4KV4
-    params = init_params(cfg, seed=0)
-    fq = init_model_fq(cfg, fq_cfg, seed=0)
-    baked, baked_fq = bake_model(cfg, fq_cfg, params, fq)
-    sp = jax.device_put(build_serving_params(cfg, fq_cfg, baked, baked_fq))
-    bp = jax.device_put(build_bf16_params(cfg, params))
-    del params, baked, fq, baked_fq
+    # build + bake on host CPU; only the final packed/bf16 params reach HBM
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        params = init_params(cfg, seed=0)
+        fq = init_model_fq(cfg, fq_cfg, seed=0)
+        baked, baked_fq = bake_model(cfg, fq_cfg, params, fq)
+        sp_host = build_serving_params(cfg, fq_cfg, baked, baked_fq)
+        bp_host = build_bf16_params(cfg, params)
+    tpu = jax.devices()[0]
+    sp = jax.device_put(sp_host, tpu)
+    bp = jax.device_put(bp_host, tpu)
+    del params, baked, fq, baked_fq, sp_host, bp_host
 
     tok = jnp.zeros((BATCH, 1), jnp.int32)
     pos = jnp.int32(START_POS)

@@ -205,46 +205,41 @@ def capture_embeddings(cfg, params, tokens: np.ndarray, compute_dtype, bsz: int 
     return np.concatenate(outs, axis=0)
 
 
-def calibrate(
-    cfg: LlamaConfig,
+def calibrate_layers(
     fq_cfg: FQConfig,
-    params: dict,
+    layers_params,
     fq_state,
-    train_tokens: np.ndarray,
-    compute_dtype=None,
+    inps: np.ndarray,
+    fp_fn,
+    calib_fn,
+    labels,
+    num_layers: int,
+    diag_init_fn=None,
     log: Callable[[str], None] = print,
     save_cb: Optional[Callable[[int, object], None]] = None,
     epochs: Optional[int] = None,
+    layer_params_fn=None,
 ):
-    """Run layer-wise calibration; returns the trained (stacked) fq_state.
+    """Model-agnostic layer-wise calibration core.
 
-    train_tokens: [nsamples, seqlen] int32. save_cb(i, fq_state) is invoked
-    after each layer (incremental resume artifact, train_utils.py:157-159).
+    fp_fn(lp, x) -> (teacher_out, stats); calib_fn(fq_l, lp, x) -> out;
+    labels: param-group label pytree for one layer; diag_init_fn(lp, fq_l,
+    stats) -> fq_l. layer_params_fn(i) overrides the default stacked-slice
+    access (heterogeneous layer stacks, e.g. DeepSeek dense/moe).
     """
-    if compute_dtype is None:
-        compute_dtype = jnp.float32 if fq_cfg.deactive_amp else jnp.bfloat16
-    nsamples, seqlen = train_tokens.shape
+    nsamples = inps.shape[0]
     bsz = fq_cfg.cali_bsz
     n_epochs = fq_cfg.epochs if epochs is None else epochs
     steps_per_epoch = max(1, nsamples // bsz)
     total_steps = max(1, n_epochs * steps_per_epoch)
-
-    cos, sin = rope_tables(cfg, jnp.arange(seqlen))
-    mask = causal_mask(seqlen)
-
-    inps = capture_embeddings(cfg, params, train_tokens, compute_dtype)
-
-    @jax.jit
-    def fp_step(lp, x):
-        return llama_layer(cfg, None, "fp", lp, None, x, cos, sin, mask, with_stats=True)
-
-    labels = build_labels(slice_layer(fq_state, 0))
     tx = make_optimizer(fq_cfg, labels, total_steps)
+
+    fp_step = jax.jit(fp_fn)
 
     @jax.jit
     def train_step(fq_l, opt_state, lp, x, teacher):
         def loss_fn(fq_l):
-            out = llama_layer(cfg, fq_cfg, "calib", lp, fq_l, x, cos, sin, mask)
+            out = calib_fn(fq_l, lp, x)
             mse = jnp.mean(
                 (out.astype(jnp.float32) - teacher.astype(jnp.float32)) ** 2
             )
@@ -255,9 +250,11 @@ def calibrate(
         fq_l = optax.apply_updates(fq_l, updates)
         return fq_l, opt_state, mse
 
-    num_layers = cfg.num_layers
     for i in range(num_layers):
-        lp = jax.device_put(slice_layer(params["layers"], i))
+        if layer_params_fn is not None:
+            lp = jax.device_put(layer_params_fn(i))
+        else:
+            lp = jax.device_put(slice_layer(layers_params, i))
         fq_l = slice_layer(fq_state, i)
 
         # FP teacher outputs + running act absmax stats
@@ -272,9 +269,9 @@ def calibrate(
             else:
                 run_stats = {k: np.maximum(run_stats[k], np.asarray(st[k])) for k in st}
 
-        if fq_cfg.diag_init == "sq_style":
+        if diag_init_fn is not None and fq_cfg.diag_init == "sq_style":
             stats = {k: jnp.asarray(v) for k, v in run_stats.items()}
-            fq_l = sq_init_diag(lp, fq_l, stats, fq_cfg.diag_alpha)
+            fq_l = diag_init_fn(lp, fq_l, stats)
 
         opt_state = tx.init(fq_l)
         for epoch in range(n_epochs):
@@ -298,3 +295,50 @@ def calibrate(
             save_cb(i, fq_state)
 
     return fq_state
+
+
+def calibrate(
+    cfg: LlamaConfig,
+    fq_cfg: FQConfig,
+    params: dict,
+    fq_state,
+    train_tokens: np.ndarray,
+    compute_dtype=None,
+    log: Callable[[str], None] = print,
+    save_cb: Optional[Callable[[int, object], None]] = None,
+    epochs: Optional[int] = None,
+):
+    """Llama-family layer-wise calibration (wrapper over calibrate_layers).
+
+    train_tokens: [nsamples, seqlen] int32. save_cb(i, fq_state) is invoked
+    after each layer (incremental resume artifact, train_utils.py:157-159).
+    """
+    if compute_dtype is None:
+        compute_dtype = jnp.float32 if fq_cfg.deactive_amp else jnp.bfloat16
+    nsamples, seqlen = train_tokens.shape
+    cos, sin = rope_tables(cfg, jnp.arange(seqlen))
+    mask = causal_mask(seqlen)
+    inps = capture_embeddings(cfg, params, train_tokens, compute_dtype)
+
+    def fp_fn(lp, x):
+        return llama_layer(cfg, None, "fp", lp, None, x, cos, sin, mask, with_stats=True)
+
+    def calib_fn(fq_l, lp, x):
+        return llama_layer(cfg, fq_cfg, "calib", lp, fq_l, x, cos, sin, mask)
+
+    labels = build_labels(slice_layer(fq_state, 0))
+
+    return calibrate_layers(
+        fq_cfg,
+        params["layers"],
+        fq_state,
+        inps,
+        fp_fn,
+        calib_fn,
+        labels,
+        num_layers=cfg.num_layers,
+        diag_init_fn=lambda lp, fq_l, stats: sq_init_diag(lp, fq_l, stats, fq_cfg.diag_alpha),
+        log=log,
+        save_cb=save_cb,
+        epochs=epochs,
+    )

@@ -1,0 +1,830 @@
+"""DeepSeek-V3/R1: MLA + MoE transformer with FlatQuant integration.
+
+Parity targets:
+  - base model: /root/reference/deepseek_v3/model.py (ModelArgs :20-84,
+    YaRN rope :294-372, MLA absorbed attention :393-494, Gate :532-595,
+    MoE :633-690)
+  - FlatQuant adapters: flatquant/model_tools/deepseekv3_utils.py
+    (qkv/wqb/wo transforms on MLA :263-283, wkv_b left unquantized :171,
+    shared w1_trans applied once pre-routing :432-439, one routed_w2_trans
+    + act quantizers shared across all routed experts :418-470)
+
+TPU-native deltas:
+  - heterogeneous layers become two homogeneous stacks (dense FFN layers,
+    MoE layers) so each is a lax.scan
+  - routed experts compute as one batched einsum over the expert axis with
+    routing-weight masking — mathematically the reference's
+    "each rank loops its owned experts over all tokens" (model.py:666-690)
+    with the loop vectorized; sharding the expert axis over an "ep" mesh
+    axis + psum reproduces the reference's expert parallelism exactly
+  - FP8 block-scaled checkpoint weights are dequantized at load
+    (fp8_block_dequant; kernel.py:55-105 analog) rather than at each
+    forward
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional, Tuple, Union
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from flatquant_tpu.core.transforms import AnyDecompose, apply_decompose, init_decompose
+from flatquant_tpu.models.llama import rms_norm
+from flatquant_tpu.quantize.linear import (
+    LinearQuantState,
+    fq_linear_eval,
+    fq_linear_train,
+    init_linear_state,
+    transform_weight,
+)
+from flatquant_tpu.quantize.spec import FQConfig
+
+
+# ---------------------------------------------------------------------------
+# config
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class DeepSeekConfig:
+    name: str = "deepseek"
+    vocab_size: int = 102400
+    dim: int = 2048
+    inter_dim: int = 10944
+    moe_inter_dim: int = 1408
+    n_layers: int = 27
+    n_dense_layers: int = 1
+    n_heads: int = 16
+    # moe
+    n_routed_experts: int = 64
+    n_shared_experts: int = 2
+    n_activated_experts: int = 6
+    n_expert_groups: int = 1
+    n_limited_groups: int = 1
+    score_func: str = "softmax"  # or "sigmoid"
+    route_scale: float = 1.0
+    gate_bias: bool = False  # V3-671B (dim 7168) has a gate bias
+    # mla
+    q_lora_rank: int = 0
+    kv_lora_rank: int = 512
+    qk_nope_head_dim: int = 128
+    qk_rope_head_dim: int = 64
+    v_head_dim: int = 128
+    # yarn
+    original_seq_len: int = 4096
+    rope_theta: float = 10000.0
+    rope_factor: float = 40.0
+    beta_fast: int = 32
+    beta_slow: int = 1
+    mscale: float = 1.0
+    max_seq_len: int = 16384
+    rms_eps: float = 1e-6
+    seqlen: int = 4096  # calibration length (scripts/deepseek/*.sh)
+
+    @property
+    def qk_head_dim(self) -> int:
+        return self.qk_nope_head_dim + self.qk_rope_head_dim
+
+    @property
+    def softmax_scale(self) -> float:
+        scale = self.qk_head_dim**-0.5
+        if self.max_seq_len > self.original_seq_len:
+            ms = 0.1 * self.mscale * math.log(self.rope_factor) + 1.0
+            scale = scale * ms * ms
+        return scale
+
+    @property
+    def n_moe_layers(self) -> int:
+        return self.n_layers - self.n_dense_layers
+
+
+# V3/R1 671B shapes (config_671B.json)
+DEEPSEEK_V3 = DeepSeekConfig(
+    name="deepseek-v3",
+    vocab_size=129280,
+    dim=7168,
+    inter_dim=18432,
+    moe_inter_dim=2048,
+    n_layers=61,
+    n_dense_layers=3,
+    n_heads=128,
+    n_routed_experts=256,
+    n_shared_experts=1,
+    n_activated_experts=8,
+    n_expert_groups=8,
+    n_limited_groups=4,
+    score_func="sigmoid",
+    route_scale=2.5,
+    gate_bias=True,
+    q_lora_rank=1536,
+)
+
+TINY_DEEPSEEK = DeepSeekConfig(
+    name="tiny-deepseek",
+    vocab_size=256,
+    dim=64,
+    inter_dim=128,
+    moe_inter_dim=48,
+    n_layers=3,
+    n_dense_layers=1,
+    n_heads=4,
+    n_routed_experts=8,
+    n_shared_experts=1,
+    n_activated_experts=2,
+    n_expert_groups=4,
+    n_limited_groups=2,
+    score_func="sigmoid",
+    route_scale=2.5,
+    gate_bias=True,
+    q_lora_rank=32,
+    kv_lora_rank=32,
+    qk_nope_head_dim=16,
+    qk_rope_head_dim=8,
+    v_head_dim=16,
+    original_seq_len=64,
+    max_seq_len=256,
+    seqlen=32,
+)
+
+
+# ---------------------------------------------------------------------------
+# YaRN rope (interleaved-pair convention, model.py:294-372,375-390)
+# ---------------------------------------------------------------------------
+
+
+def ds_rope_tables(cfg: DeepSeekConfig, max_len: Optional[int] = None):
+    dim = cfg.qk_rope_head_dim
+    seqlen = max_len or cfg.max_seq_len
+    base = cfg.rope_theta
+    freqs = 1.0 / (base ** (np.arange(0, dim, 2, dtype=np.float64) / dim))
+    if seqlen > cfg.original_seq_len:
+        def corr_dim(num_rot):
+            return (
+                dim
+                * math.log(cfg.original_seq_len / (num_rot * 2 * math.pi))
+                / (2 * math.log(base))
+            )
+
+        low = max(math.floor(corr_dim(cfg.beta_fast)), 0)
+        high = min(math.ceil(corr_dim(cfg.beta_slow)), dim - 1)
+        if low == high:
+            high += 0.001
+        ramp = np.clip((np.arange(dim // 2, dtype=np.float64) - low) / (high - low), 0, 1)
+        smooth = 1.0 - ramp
+        freqs = freqs / cfg.rope_factor * (1 - smooth) + freqs * smooth
+    t = np.arange(seqlen, dtype=np.float64)
+    ang = np.outer(t, freqs)
+    return jnp.asarray(np.cos(ang), jnp.float32), jnp.asarray(np.sin(ang), jnp.float32)
+
+
+def apply_ds_rope(x, cos, sin):
+    """x [..., S, h, d] with interleaved (real, imag) pairs; cos/sin [S, d/2]."""
+    shape = x.shape
+    xr = x.astype(jnp.float32).reshape(shape[:-1] + (shape[-1] // 2, 2))
+    x0, x1 = xr[..., 0], xr[..., 1]
+    c = cos[None, :, None, :]
+    s = sin[None, :, None, :]
+    out0 = x0 * c - x1 * s
+    out1 = x0 * s + x1 * c
+    return jnp.stack([out0, out1], axis=-1).reshape(shape).astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# params
+# ---------------------------------------------------------------------------
+
+
+def init_ds_params(cfg: DeepSeekConfig, seed: int = 0, dtype=jnp.float32):
+    key = jax.random.PRNGKey(seed)
+    scale = 0.02
+    kiter = iter(jax.random.split(key, 64))
+
+    def w(*shape):
+        return (jax.random.normal(next(kiter), shape) * scale).astype(dtype)
+
+    def attn():
+        d = {
+            "attn_norm": jnp.ones((cfg.dim,), dtype),
+            "ffn_norm": jnp.ones((cfg.dim,), dtype),
+            "wkv_a": w(cfg.kv_lora_rank + cfg.qk_rope_head_dim, cfg.dim),
+            "kv_norm": jnp.ones((cfg.kv_lora_rank,), dtype),
+            "wkv_b": w(cfg.n_heads * (cfg.qk_nope_head_dim + cfg.v_head_dim), cfg.kv_lora_rank),
+            "wo": w(cfg.dim, cfg.n_heads * cfg.v_head_dim),
+        }
+        if cfg.q_lora_rank > 0:
+            d["wq_a"] = w(cfg.q_lora_rank, cfg.dim)
+            d["q_norm"] = jnp.ones((cfg.q_lora_rank,), dtype)
+            d["wq_b"] = w(cfg.n_heads * cfg.qk_head_dim, cfg.q_lora_rank)
+        else:
+            d["wq"] = w(cfg.n_heads * cfg.qk_head_dim, cfg.dim)
+        return d
+
+    def stack(fn, n):
+        items = [fn() for _ in range(n)]
+        return jax.tree.map(lambda *xs: jnp.stack(xs), *items)
+
+    def dense_layer():
+        d = attn()
+        d.update(
+            w1=w(cfg.inter_dim, cfg.dim),
+            w2=w(cfg.dim, cfg.inter_dim),
+            w3=w(cfg.inter_dim, cfg.dim),
+        )
+        return d
+
+    def moe_layer():
+        d = attn()
+        si = cfg.n_shared_experts * cfg.moe_inter_dim
+        d.update(
+            gate_w=w(cfg.n_routed_experts, cfg.dim),
+            e_w1=w(cfg.n_routed_experts, cfg.moe_inter_dim, cfg.dim),
+            e_w2=w(cfg.n_routed_experts, cfg.dim, cfg.moe_inter_dim),
+            e_w3=w(cfg.n_routed_experts, cfg.moe_inter_dim, cfg.dim),
+            s_w1=w(si, cfg.dim),
+            s_w2=w(cfg.dim, si),
+            s_w3=w(si, cfg.dim),
+        )
+        if cfg.gate_bias:
+            d["gate_b"] = jnp.zeros((cfg.n_routed_experts,), dtype)
+        return d
+
+    return {
+        "embed": w(cfg.vocab_size, cfg.dim),
+        "final_norm": jnp.ones((cfg.dim,), dtype),
+        "head": w(cfg.vocab_size, cfg.dim),
+        "dense_layers": stack(dense_layer, cfg.n_dense_layers),
+        "moe_layers": stack(moe_layer, cfg.n_moe_layers),
+    }
+
+
+def fp8_block_dequant(w_fp8, scales, block: int = 128):
+    """Block-scaled FP8 weight -> fp32 (deepseek_v3/kernel.py:55-105 analog,
+    done once at load instead of per-forward). scales: [ceil(out/b), ceil(in/b)]."""
+    out_dim, in_dim = w_fp8.shape
+    wf = w_fp8.astype(jnp.float32)
+    sr = jnp.repeat(scales, block, axis=0)[:out_dim]
+    sc = jnp.repeat(sr, block, axis=1)[:, :in_dim]
+    return wf * sc
+
+
+# ---------------------------------------------------------------------------
+# FlatQuant state
+# ---------------------------------------------------------------------------
+
+
+@struct.dataclass
+class MLAFQ:
+    qkv_trans: Optional[AnyDecompose]  # on dim (input of wq/wq_a + wkv_a)
+    wqb_trans: Optional[AnyDecompose]  # on q_lora_rank
+    wo_trans: Optional[AnyDecompose]  # on n_heads * v_head_dim
+    wq_a_lin: LinearQuantState  # also used for wq when q_lora_rank == 0
+    wq_b_lin: Optional[LinearQuantState]
+    wkv_a_lin: LinearQuantState
+    wo_lin: LinearQuantState
+
+
+@struct.dataclass
+class DenseFFNFQ:
+    up_gate_trans: Optional[AnyDecompose]
+    down_trans: Optional[AnyDecompose]
+    w1_lin: LinearQuantState
+    w2_lin: LinearQuantState
+    w3_lin: LinearQuantState
+
+
+@struct.dataclass
+class MoEFQ:
+    w1_trans: Optional[AnyDecompose]  # shared, applied once pre-routing
+    w2_trans: Optional[AnyDecompose]  # shared experts' down transform
+    routed_w2_trans: Optional[AnyDecompose]  # ONE transform for all routed
+    s_w1_lin: LinearQuantState
+    s_w2_lin: LinearQuantState
+    s_w3_lin: LinearQuantState
+    # routed experts: per-expert LWC clips (stacked [E, ...]),
+    # act clips shared across experts (deepseekv3_utils.py:418-420)
+    e_w1_lin: LinearQuantState
+    e_w2_lin: LinearQuantState
+    e_w3_lin: LinearQuantState
+
+
+@struct.dataclass
+class DSDenseLayerFQ:
+    attn: MLAFQ
+    ffn: DenseFFNFQ
+
+
+@struct.dataclass
+class DSMoELayerFQ:
+    attn: MLAFQ
+    ffn: MoEFQ
+
+
+def _init_mla_fq(cfg: DeepSeekConfig, fq: FQConfig, rng) -> MLAFQ:
+    wa = fq.w_bits < 16 or fq.a_bits < 16
+    mk = lambda n: init_decompose(n, rng, add_diag=fq.add_diag, direct_inv=fq.direct_inv)
+    lin = lambda out: init_linear_state(out, fq.lwc, fq.lac)
+    return MLAFQ(
+        qkv_trans=mk(cfg.dim) if wa else None,
+        wqb_trans=mk(cfg.q_lora_rank) if (wa and cfg.q_lora_rank > 0) else None,
+        wo_trans=mk(cfg.n_heads * cfg.v_head_dim) if wa else None,
+        wq_a_lin=lin(cfg.q_lora_rank if cfg.q_lora_rank > 0 else cfg.n_heads * cfg.qk_head_dim),
+        wq_b_lin=lin(cfg.n_heads * cfg.qk_head_dim) if cfg.q_lora_rank > 0 else None,
+        wkv_a_lin=lin(cfg.kv_lora_rank + cfg.qk_rope_head_dim),
+        wo_lin=lin(cfg.dim),
+    )
+
+
+def _stack_linear_state(st: LinearQuantState, n: int) -> LinearQuantState:
+    rep = lambda a: None if a is None else jnp.broadcast_to(a, (n,) + a.shape)
+    return LinearQuantState(
+        clip_w_max=rep(st.clip_w_max),
+        clip_w_min=rep(st.clip_w_min),
+        clip_a_max=st.clip_a_max,  # act clips shared across experts
+        clip_a_min=st.clip_a_min,
+    )
+
+
+def init_ds_fq(cfg: DeepSeekConfig, fq: FQConfig, seed: int = 0):
+    """Returns (dense_fq stacked [n_dense], moe_fq stacked [n_moe])."""
+    rng = np.random.default_rng(seed)
+    wa = fq.w_bits < 16 or fq.a_bits < 16
+    mk = lambda n: init_decompose(n, rng, add_diag=fq.add_diag, direct_inv=fq.direct_inv)
+    lin = lambda out: init_linear_state(out, fq.lwc, fq.lac)
+
+    def dense_layer():
+        return DSDenseLayerFQ(
+            attn=_init_mla_fq(cfg, fq, rng),
+            ffn=DenseFFNFQ(
+                up_gate_trans=mk(cfg.dim) if wa else None,
+                down_trans=mk(cfg.inter_dim) if wa else None,
+                w1_lin=lin(cfg.inter_dim),
+                w2_lin=lin(cfg.dim),
+                w3_lin=lin(cfg.inter_dim),
+            ),
+        )
+
+    def moe_layer():
+        si = cfg.n_shared_experts * cfg.moe_inter_dim
+        return DSMoELayerFQ(
+            attn=_init_mla_fq(cfg, fq, rng),
+            ffn=MoEFQ(
+                w1_trans=mk(cfg.dim) if wa else None,
+                w2_trans=mk(si) if wa else None,
+                routed_w2_trans=mk(cfg.moe_inter_dim) if wa else None,
+                s_w1_lin=lin(si),
+                s_w2_lin=lin(cfg.dim),
+                s_w3_lin=lin(si),
+                e_w1_lin=_stack_linear_state(lin(cfg.moe_inter_dim), cfg.n_routed_experts),
+                e_w2_lin=_stack_linear_state(lin(cfg.dim), cfg.n_routed_experts),
+                e_w3_lin=_stack_linear_state(lin(cfg.moe_inter_dim), cfg.n_routed_experts),
+            ),
+        )
+
+    stack = lambda fn, n: jax.tree.map(lambda *xs: jnp.stack(xs), *[fn() for _ in range(n)])
+    return stack(dense_layer, cfg.n_dense_layers), stack(moe_layer, cfg.n_moe_layers)
+
+
+# ---------------------------------------------------------------------------
+# forward
+# ---------------------------------------------------------------------------
+
+
+def _linear(mode, quant, fq_cfg, x, w, b, st, qa=None, lwc=False):
+    if not quant:
+        y = jnp.matmul(x, w.T.astype(x.dtype))
+        return y + b.astype(y.dtype) if b is not None else y
+    if mode == "calib":
+        return fq_linear_train(x, w, b, st, fq_cfg.w_cfg, fq_cfg.a_cfg, qa_trans=qa, lwc=fq_cfg.lwc)
+    return fq_linear_eval(x, w, b, st, fq_cfg.a_cfg)
+
+
+def ds_mla(cfg: DeepSeekConfig, fq_cfg, mode, lp, fqa: Optional[MLAFQ], x, cos, sin, mask,
+           stats=None):
+    """Absorbed-path MLA over the full sequence (calibration / eval)."""
+    B, S, _ = x.shape
+    quant = mode != "fp" and fqa is not None
+    nh = cfg.n_heads
+
+    h = x
+    if stats is not None:
+        stats["qkv"] = jnp.max(jnp.abs(h.astype(jnp.float32)), axis=(0, 1))
+    if quant and fqa.qkv_trans is not None:
+        h = apply_decompose(fqa.qkv_trans, h)
+    qa = fqa.qkv_trans if (quant and mode == "calib") else None
+
+    if cfg.q_lora_rank > 0:
+        q1 = _linear(mode, quant, fq_cfg, h, lp["wq_a"], None,
+                     fqa.wq_a_lin if quant else None, qa=qa)
+        q2 = rms_norm(q1, lp["q_norm"], cfg.rms_eps)
+        if stats is not None:
+            stats["wqb"] = jnp.max(jnp.abs(q2.astype(jnp.float32)), axis=(0, 1))
+        if quant and fqa.wqb_trans is not None:
+            q2 = apply_decompose(fqa.wqb_trans, q2)
+        qa_b = fqa.wqb_trans if (quant and mode == "calib") else None
+        q = _linear(mode, quant, fq_cfg, q2, lp["wq_b"], None,
+                    fqa.wq_b_lin if quant else None, qa=qa_b)
+    else:
+        q = _linear(mode, quant, fq_cfg, h, lp["wq"], None,
+                    fqa.wq_a_lin if quant else None, qa=qa)
+
+    kv_raw = _linear(mode, quant, fq_cfg, h, lp["wkv_a"], None,
+                     fqa.wkv_a_lin if quant else None, qa=qa)
+
+    q = q.reshape(B, S, nh, cfg.qk_head_dim)
+    q_nope = q[..., : cfg.qk_nope_head_dim]
+    q_pe = apply_ds_rope(q[..., cfg.qk_nope_head_dim :], cos, sin)
+    kv = kv_raw[..., : cfg.kv_lora_rank]
+    k_pe = apply_ds_rope(kv_raw[..., None, cfg.kv_lora_rank :], cos, sin)[..., 0, :]
+
+    # absorb: fold wkv_b's K half into q (wkv_b stays UNQUANTIZED,
+    # deepseekv3_utils.py:171)
+    wkv_b = lp["wkv_b"].reshape(nh, cfg.qk_nope_head_dim + cfg.v_head_dim, cfg.kv_lora_rank)
+    q_abs = jnp.einsum("bshd,hdc->bshc", q_nope.astype(jnp.float32),
+                       wkv_b[:, : cfg.qk_nope_head_dim].astype(jnp.float32)).astype(x.dtype)
+    kv = rms_norm(kv, lp["kv_norm"], cfg.rms_eps)
+
+    scores = (
+        jnp.einsum("bshc,btc->bsht", q_abs, kv)
+        + jnp.einsum("bshr,btr->bsht", q_pe, k_pe)
+    ) * cfg.softmax_scale
+    scores = scores.astype(jnp.float32) + mask[:, :, None, :]
+    probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
+    o = jnp.einsum("bsht,btc->bshc", probs, kv)
+    o = jnp.einsum("bshc,hdc->bshd", o.astype(jnp.float32),
+                   wkv_b[:, cfg.qk_nope_head_dim :].astype(jnp.float32)).astype(x.dtype)
+    o = o.reshape(B, S, nh * cfg.v_head_dim)
+
+    if stats is not None:
+        stats["wo"] = jnp.max(jnp.abs(o.astype(jnp.float32)), axis=(0, 1))
+    if quant and fqa.wo_trans is not None:
+        o = apply_decompose(fqa.wo_trans, o)
+    qa_o = fqa.wo_trans if (quant and mode == "calib") else None
+    return _linear(mode, quant, fq_cfg, o, lp["wo"], None,
+                   fqa.wo_lin if quant else None, qa=qa_o)
+
+
+def _ffn_dense(cfg, fq_cfg, mode, lp, fqf: Optional[DenseFFNFQ], x, stats=None):
+    quant = mode != "fp" and fqf is not None
+    h = x
+    if stats is not None:
+        stats["ffn_up"] = jnp.max(jnp.abs(h.astype(jnp.float32)), axis=(0, 1))
+    if quant and fqf.up_gate_trans is not None:
+        h = apply_decompose(fqf.up_gate_trans, h)
+    qa = fqf.up_gate_trans if (quant and mode == "calib") else None
+    gate = _linear(mode, quant, fq_cfg, h, lp["w1"], None, fqf.w1_lin if quant else None, qa=qa)
+    up = _linear(mode, quant, fq_cfg, h, lp["w3"], None, fqf.w3_lin if quant else None, qa=qa)
+    act = jax.nn.silu(gate) * up
+    if stats is not None:
+        stats["ffn_down"] = jnp.max(jnp.abs(act.astype(jnp.float32)), axis=(0, 1))
+    if quant and fqf.down_trans is not None:
+        act = apply_decompose(fqf.down_trans, act)
+    qa2 = fqf.down_trans if (quant and mode == "calib") else None
+    return _linear(mode, quant, fq_cfg, act, lp["w2"], None, fqf.w2_lin if quant else None, qa=qa2)
+
+
+def ds_gate(cfg: DeepSeekConfig, lp, x2d):
+    """Routing weights/indices (Gate.forward, model.py:563-595)."""
+    scores = jnp.matmul(x2d.astype(jnp.float32), lp["gate_w"].T.astype(jnp.float32))
+    if cfg.score_func == "softmax":
+        scores = jax.nn.softmax(scores, axis=-1)
+    else:
+        scores = jax.nn.sigmoid(scores)
+    original = scores
+    if "gate_b" in lp:
+        scores = scores + lp["gate_b"].astype(jnp.float32)
+    T = x2d.shape[0]
+    E = cfg.n_routed_experts
+    if cfg.n_expert_groups > 1:
+        g = cfg.n_expert_groups
+        sg = scores.reshape(T, g, E // g)
+        if "gate_b" in lp:
+            top2 = jax.lax.top_k(sg, 2)[0]
+            group_scores = jnp.sum(top2, axis=-1)
+        else:
+            group_scores = jnp.max(sg, axis=-1)
+        _, gidx = jax.lax.top_k(group_scores, cfg.n_limited_groups)
+        gmask = jnp.zeros((T, g), bool)
+        gmask = gmask.at[jnp.arange(T)[:, None], gidx].set(True)
+        scores = jnp.where(gmask[:, :, None], sg, -jnp.inf).reshape(T, E)
+    _, indices = jax.lax.top_k(scores, cfg.n_activated_experts)
+    weights = jnp.take_along_axis(original, indices, axis=-1)
+    if cfg.score_func == "sigmoid":
+        weights = weights / jnp.sum(weights, axis=-1, keepdims=True)
+    weights = weights * cfg.route_scale
+    return weights, indices
+
+
+def _expert_linear(mode, quant, fq_cfg, x_e, w_e, st_e, qa=None):
+    """Batched-over-experts linear: x_e [E, T, in], w_e [E, out, in].
+
+    The per-expert LWC clips live in st_e (stacked [E, ...]); act clips are
+    shared (broadcast). vmap over the expert axis reuses the scalar path.
+    """
+    if not quant:
+        return jnp.einsum("eti,eoi->eto", x_e, w_e.astype(x_e.dtype))
+
+    def run_one(x1, w1, cwmax, cwmin):
+        st = LinearQuantState(clip_w_max=cwmax, clip_w_min=cwmin,
+                              clip_a_max=st_e.clip_a_max, clip_a_min=st_e.clip_a_min)
+        if mode == "calib":
+            return fq_linear_train(x1, w1, None, st, fq_cfg.w_cfg, fq_cfg.a_cfg,
+                                   qa_trans=qa, lwc=fq_cfg.lwc)
+        return fq_linear_eval(x1, w1, None, st, fq_cfg.a_cfg)
+
+    if st_e.clip_w_max is not None:
+        return jax.vmap(lambda x1, w1, cm, cn: run_one(x1, w1, cm, cn))(
+            x_e, w_e, st_e.clip_w_max, st_e.clip_w_min
+        )
+    return jax.vmap(lambda x1, w1: run_one(x1, w1, None, None))(x_e, w_e)
+
+
+def _ffn_moe(cfg, fq_cfg, mode, lp, fqf: Optional[MoEFQ], x, stats=None):
+    """MoE FFN. Routed experts run as a dense batched einsum with routing
+    masks (EP-shardable over the expert axis + psum)."""
+    B, S, D = x.shape
+    quant = mode != "fp" and fqf is not None
+    x2d = x.reshape(-1, D)
+    T = x2d.shape[0]
+    E = cfg.n_routed_experts
+
+    weights, indices = ds_gate(cfg, lp, x2d)
+    # dense routing matrix [T, E]
+    route = jnp.zeros((T, E), jnp.float32)
+    route = route.at[jnp.arange(T)[:, None], indices].add(weights)
+
+    if stats is not None:
+        stats["moe_in"] = jnp.max(jnp.abs(x2d.astype(jnp.float32)), axis=0)
+    h = x2d
+    if quant and fqf.w1_trans is not None:
+        # shared transform applied ONCE pre-routing (deepseekv3_utils.py:432)
+        h = apply_decompose(fqf.w1_trans, h)
+    qa1 = fqf.w1_trans if (quant and mode == "calib") else None
+
+    # routed experts: [E, T, D] batched compute, masked-weighted sum
+    h_e = jnp.broadcast_to(h[None], (E,) + h.shape)
+    gate_e = _expert_linear(mode, quant, fq_cfg, h_e, lp["e_w1"],
+                            fqf.e_w1_lin if quant else None, qa=qa1)
+    up_e = _expert_linear(mode, quant, fq_cfg, h_e, lp["e_w3"],
+                          fqf.e_w3_lin if quant else None, qa=qa1)
+    act_e = jax.nn.silu(gate_e) * up_e
+    if stats is not None:
+        stats["moe_down"] = jnp.max(jnp.abs(act_e.astype(jnp.float32)), axis=(0, 1))
+    if quant and fqf.routed_w2_trans is not None:
+        act_e = apply_decompose(fqf.routed_w2_trans, act_e)
+    qa2 = fqf.routed_w2_trans if (quant and mode == "calib") else None
+    down_e = _expert_linear(mode, quant, fq_cfg, act_e, lp["e_w2"],
+                            fqf.e_w2_lin if quant else None, qa=qa2)
+    y = jnp.einsum("etd,te->td", down_e.astype(jnp.float32), route).astype(x.dtype)
+
+    # shared experts (plain MLP over the shared-expert transforms)
+    sh = h
+    s_gate = _linear(mode, quant, fq_cfg, sh, lp["s_w1"], None,
+                     fqf.s_w1_lin if quant else None, qa=qa1)
+    s_up = _linear(mode, quant, fq_cfg, sh, lp["s_w3"], None,
+                   fqf.s_w3_lin if quant else None, qa=qa1)
+    s_act = jax.nn.silu(s_gate) * s_up
+    if quant and fqf.w2_trans is not None:
+        s_act = apply_decompose(fqf.w2_trans, s_act)
+    qa3 = fqf.w2_trans if (quant and mode == "calib") else None
+    z = _linear(mode, quant, fq_cfg, s_act, lp["s_w2"], None,
+                fqf.s_w2_lin if quant else None, qa=qa3)
+    return (y + z).reshape(B, S, D)
+
+
+def ds_layer(cfg, fq_cfg, mode, lp, lfq, x, cos, sin, mask, moe: bool,
+             with_stats: bool = False):
+    stats = {} if with_stats else None
+    fqa = lfq.attn if lfq is not None else None
+    fqf = lfq.ffn if lfq is not None else None
+    h = rms_norm(x, lp["attn_norm"], cfg.rms_eps)
+    x = x + ds_mla(cfg, fq_cfg, mode, lp, fqa, h, cos, sin, mask, stats=stats)
+    h2 = rms_norm(x, lp["ffn_norm"], cfg.rms_eps)
+    if moe:
+        out = x + _ffn_moe(cfg, fq_cfg, mode, lp, fqf, h2, stats=stats)
+    else:
+        out = x + _ffn_dense(cfg, fq_cfg, mode, lp, fqf, h2, stats=stats)
+    if with_stats:
+        return out, stats
+    return out
+
+
+def deepseek_forward(cfg: DeepSeekConfig, params, tokens, fq=None, fq_cfg=None,
+                     mode: str = "fp", compute_dtype=jnp.bfloat16):
+    """Full-sequence forward -> fp32 logits. fq: (dense_fq, moe_fq) stacks."""
+    B, S = tokens.shape
+    x = params["embed"][tokens].astype(compute_dtype)
+    cos, sin = ds_rope_tables(cfg, S)
+    mask = jnp.where(jnp.tril(jnp.ones((S, S), bool)), 0.0, -1e9)[None].astype(jnp.float32)
+    dense_fq, moe_fq = fq if fq is not None else (None, None)
+
+    def dense_body(carry, xs):
+        lp, lfq = xs
+        return ds_layer(cfg, fq_cfg, mode, lp, lfq, carry, cos, sin, mask, moe=False), None
+
+    def moe_body(carry, xs):
+        lp, lfq = xs
+        return ds_layer(cfg, fq_cfg, mode, lp, lfq, carry, cos, sin, mask, moe=True), None
+
+    x, _ = jax.lax.scan(dense_body, x, (params["dense_layers"], dense_fq))
+    x, _ = jax.lax.scan(moe_body, x, (params["moe_layers"], moe_fq))
+    x = rms_norm(x, params["final_norm"], cfg.rms_eps)
+    logits = jnp.matmul(x, params["head"].T.astype(x.dtype))
+    return logits.astype(jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# bake / labels / diag init / calibration wrapper
+# ---------------------------------------------------------------------------
+
+from flatquant_tpu.core.transforms import bake_decompose  # noqa: E402
+
+
+def _mb(t, f):
+    return None if t is None else f(t)
+
+
+def bake_ds_fq(dense_fq, moe_fq):
+    """Freeze all transforms (the DeepSeek eval path keeps the train-style
+    forward with fixed matrices — FlatQuantMLA.reparameterize only calls
+    to_eval_mode, deepseekv3_utils.py:283-296; weights are quantized on the
+    fly, so eval == mode="calib" with baked transforms)."""
+
+    def bake_attn(a: MLAFQ) -> MLAFQ:
+        return a.replace(
+            qkv_trans=_mb(a.qkv_trans, bake_decompose),
+            wqb_trans=_mb(a.wqb_trans, bake_decompose),
+            wo_trans=_mb(a.wo_trans, bake_decompose),
+        )
+
+    def bake_dense(l: DSDenseLayerFQ) -> DSDenseLayerFQ:
+        return l.replace(
+            attn=bake_attn(l.attn),
+            ffn=l.ffn.replace(
+                up_gate_trans=_mb(l.ffn.up_gate_trans, bake_decompose),
+                down_trans=_mb(l.ffn.down_trans, bake_decompose),
+            ),
+        )
+
+    def bake_moe(l: DSMoELayerFQ) -> DSMoELayerFQ:
+        return l.replace(
+            attn=bake_attn(l.attn),
+            ffn=l.ffn.replace(
+                w1_trans=_mb(l.ffn.w1_trans, bake_decompose),
+                w2_trans=_mb(l.ffn.w2_trans, bake_decompose),
+                routed_w2_trans=_mb(l.ffn.routed_w2_trans, bake_decompose),
+            ),
+        )
+
+    dense_b = jax.vmap(bake_dense)(dense_fq) if dense_fq is not None else None
+    moe_b = jax.vmap(bake_moe)(moe_fq) if moe_fq is not None else None
+    return dense_b, moe_b
+
+
+def build_ds_labels(layer_fq):
+    """Param-group labels (trans|diag|clip_w|clip_a) for one DS layer."""
+    from flatquant_tpu.calib.trainer import (
+        _label_decompose,
+        _label_linear,
+    )
+
+    def lab_attn(a: MLAFQ) -> MLAFQ:
+        return MLAFQ(
+            qkv_trans=_label_decompose(a.qkv_trans),
+            wqb_trans=_label_decompose(a.wqb_trans),
+            wo_trans=_label_decompose(a.wo_trans),
+            wq_a_lin=_label_linear(a.wq_a_lin),
+            wq_b_lin=None if a.wq_b_lin is None else _label_linear(a.wq_b_lin),
+            wkv_a_lin=_label_linear(a.wkv_a_lin),
+            wo_lin=_label_linear(a.wo_lin),
+        )
+
+    if isinstance(layer_fq, DSDenseLayerFQ):
+        f = layer_fq.ffn
+        return DSDenseLayerFQ(
+            attn=lab_attn(layer_fq.attn),
+            ffn=DenseFFNFQ(
+                up_gate_trans=_label_decompose(f.up_gate_trans),
+                down_trans=_label_decompose(f.down_trans),
+                w1_lin=_label_linear(f.w1_lin),
+                w2_lin=_label_linear(f.w2_lin),
+                w3_lin=_label_linear(f.w3_lin),
+            ),
+        )
+    f = layer_fq.ffn
+    return DSMoELayerFQ(
+        attn=lab_attn(layer_fq.attn),
+        ffn=MoEFQ(
+            w1_trans=_label_decompose(f.w1_trans),
+            w2_trans=_label_decompose(f.w2_trans),
+            routed_w2_trans=_label_decompose(f.routed_w2_trans),
+            s_w1_lin=_label_linear(f.s_w1_lin),
+            s_w2_lin=_label_linear(f.s_w2_lin),
+            s_w3_lin=_label_linear(f.s_w3_lin),
+            e_w1_lin=_label_linear(f.e_w1_lin),
+            e_w2_lin=_label_linear(f.e_w2_lin),
+            e_w3_lin=_label_linear(f.e_w3_lin),
+        ),
+    )
+
+
+def ds_sq_init_diag(cfg: DeepSeekConfig, lp, layer_fq, stats, alpha: float):
+    """sq-style diag init for DeepSeek transforms (init_diag_scale analog)."""
+    from flatquant_tpu.calib.trainer import _get_init_scale
+
+    def upd(trans, w_cat, stat_key):
+        if trans is None or trans.diag_scale is None or stat_key not in stats:
+            return trans
+        w_smax = jnp.max(jnp.abs(w_cat), axis=0)
+        return trans.replace(diag_scale=_get_init_scale(w_smax, stats[stat_key], alpha))
+
+    a = layer_fq.attn
+    qkv_w = [lp["wkv_a"]] + ([lp["wq_a"]] if "wq_a" in lp else [lp["wq"]])
+    a = a.replace(
+        qkv_trans=upd(a.qkv_trans, jnp.concatenate(qkv_w, axis=0), "qkv"),
+        wqb_trans=upd(a.wqb_trans, lp["wq_b"], "wqb") if a.wqb_trans is not None else None,
+        wo_trans=upd(a.wo_trans, lp["wo"], "wo"),
+    )
+    f = layer_fq.ffn
+    if isinstance(layer_fq, DSDenseLayerFQ):
+        f = f.replace(
+            up_gate_trans=upd(f.up_gate_trans, jnp.concatenate([lp["w1"], lp["w3"]], 0), "ffn_up"),
+            down_trans=upd(f.down_trans, lp["w2"], "ffn_down"),
+        )
+        return DSDenseLayerFQ(attn=a, ffn=f)
+    w13 = jnp.concatenate(
+        [lp["s_w1"], lp["s_w3"], lp["e_w1"].reshape(-1, cfg.dim), lp["e_w3"].reshape(-1, cfg.dim)], 0
+    )
+    f = f.replace(
+        w1_trans=upd(f.w1_trans, w13, "moe_in"),
+        w2_trans=upd(f.w2_trans, lp["s_w2"], "moe_s_down"),
+        routed_w2_trans=upd(
+            f.routed_w2_trans, lp["e_w2"].reshape(-1, cfg.moe_inter_dim), "moe_down"
+        ),
+    )
+    return DSMoELayerFQ(attn=a, ffn=f)
+
+
+def calibrate_deepseek(cfg: DeepSeekConfig, fq_cfg, params, dense_fq, moe_fq,
+                       train_tokens, compute_dtype=None, log=print,
+                       save_cb=None, epochs=None, skip_last: int = 0):
+    """Layer-wise DeepSeek calibration (main_dpskv3.py cali_flat_quant
+    analog; skip_last mirrors --v3_not_last skipping the final layers)."""
+    from flatquant_tpu.calib.trainer import calibrate_layers, capture_embeddings
+    from flatquant_tpu.quantize.state import slice_layer
+
+    if compute_dtype is None:
+        compute_dtype = jnp.float32 if fq_cfg.deactive_amp else jnp.bfloat16
+    nsamples, seqlen = train_tokens.shape
+    cos, sin = ds_rope_tables(cfg, seqlen)
+    mask = jnp.where(jnp.tril(jnp.ones((seqlen, seqlen), bool)), 0.0, -1e9)[None].astype(jnp.float32)
+    inps = capture_embeddings(cfg, params, train_tokens, compute_dtype)
+
+    def mk_fns(moe: bool):
+        def fp_fn(lp, x):
+            return ds_layer(cfg, None, "fp", lp, None, x, cos, sin, mask,
+                            moe=moe, with_stats=True)
+
+        def calib_fn(fq_l, lp, x):
+            return ds_layer(cfg, fq_cfg, "calib", lp, fq_l, x, cos, sin, mask, moe=moe)
+
+        return fp_fn, calib_fn
+
+    # dense layers
+    fp_fn, calib_fn = mk_fns(False)
+    dense_fq = calibrate_layers(
+        fq_cfg, params["dense_layers"], dense_fq, inps, fp_fn, calib_fn,
+        build_ds_labels(slice_layer(dense_fq, 0)),
+        num_layers=cfg.n_dense_layers,
+        diag_init_fn=lambda lp, fq_l, stats: ds_sq_init_diag(cfg, lp, fq_l, stats, fq_cfg.diag_alpha),
+        log=lambda s: log("dense " + s), save_cb=None, epochs=epochs,
+    )
+    # propagate through trained dense layers to get moe inputs: re-run fp
+    # (the trainer already ping-pongs internally; recompute cleanly)
+    fp_step = jax.jit(fp_fn)
+    cur = inps
+    for i in range(cfg.n_dense_layers):
+        lp = slice_layer(params["dense_layers"], i)
+        outs = np.empty_like(cur)
+        for j in range(0, nsamples, fq_cfg.cali_bsz):
+            o, _ = fp_step(lp, jnp.asarray(cur[j:j + fq_cfg.cali_bsz]))
+            outs[j:j + fq_cfg.cali_bsz] = np.asarray(o)
+        cur = outs
+
+    fp_fn_m, calib_fn_m = mk_fns(True)
+    n_moe = cfg.n_moe_layers - skip_last
+    moe_fq = calibrate_layers(
+        fq_cfg, params["moe_layers"], moe_fq, cur, fp_fn_m, calib_fn_m,
+        build_ds_labels(slice_layer(moe_fq, 0)),
+        num_layers=n_moe,
+        diag_init_fn=lambda lp, fq_l, stats: ds_sq_init_diag(cfg, lp, fq_l, stats, fq_cfg.diag_alpha),
+        log=lambda s: log("moe " + s),
+        save_cb=(lambda i, st: save_cb(i, (dense_fq, st))) if save_cb else None,
+        epochs=epochs,
+    )
+    return dense_fq, moe_fq

@@ -1,0 +1,130 @@
+"""DeepSeek-V3 model tests: MLA/MoE forward, gate, yarn, calibration."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from flatquant_tpu.models.deepseek import (
+    TINY_DEEPSEEK,
+    apply_ds_rope,
+    bake_ds_fq,
+    calibrate_deepseek,
+    deepseek_forward,
+    ds_gate,
+    ds_rope_tables,
+    fp8_block_dequant,
+    init_ds_fq,
+    init_ds_params,
+)
+from flatquant_tpu.quantize.spec import W4A4, FQConfig
+
+
+@pytest.fixture(scope="module")
+def tiny_ds():
+    cfg = TINY_DEEPSEEK
+    params = init_ds_params(cfg, seed=0)
+    toks = np.random.default_rng(0).integers(0, cfg.vocab_size, (2, 16)).astype(np.int32)
+    return cfg, params, jnp.asarray(toks)
+
+
+def test_fp_forward(tiny_ds):
+    cfg, params, toks = tiny_ds
+    logits = deepseek_forward(cfg, params, toks, compute_dtype=jnp.float32)
+    assert logits.shape == (2, 16, cfg.vocab_size)
+    assert bool(jnp.isfinite(logits).all())
+
+
+def test_yarn_rope_changes_low_freqs():
+    cfg = TINY_DEEPSEEK
+    cos_l, _ = ds_rope_tables(cfg, cfg.max_seq_len)  # > original -> yarn on
+    cos_s, _ = ds_rope_tables(cfg, cfg.original_seq_len)  # yarn off
+    n = cfg.original_seq_len
+    assert float(jnp.max(jnp.abs(cos_l[:n] - cos_s))) > 1e-4
+
+
+def test_rope_norm_preserved(rng):
+    cfg = TINY_DEEPSEEK
+    cos, sin = ds_rope_tables(cfg, 16)
+    x = jnp.asarray(rng.standard_normal((1, 16, 2, cfg.qk_rope_head_dim)), jnp.float32)
+    y = apply_ds_rope(x, cos, sin)
+    np.testing.assert_allclose(
+        jnp.linalg.norm(y, axis=-1), jnp.linalg.norm(x, axis=-1), rtol=1e-5
+    )
+
+
+def test_gate_group_limiting(rng):
+    cfg = TINY_DEEPSEEK  # 8 experts, 4 groups, 2 limited groups, top-2
+    lp = {
+        "gate_w": jnp.asarray(rng.standard_normal((cfg.n_routed_experts, cfg.dim)), jnp.float32),
+        "gate_b": jnp.asarray(rng.standard_normal(cfg.n_routed_experts), jnp.float32),
+    }
+    x = jnp.asarray(rng.standard_normal((5, cfg.dim)), jnp.float32)
+    weights, indices = ds_gate(cfg, lp, x)
+    assert weights.shape == (5, cfg.n_activated_experts)
+    assert indices.shape == (5, cfg.n_activated_experts)
+    # sigmoid renorm * route_scale: weights sum to route_scale
+    np.testing.assert_allclose(weights.sum(-1), cfg.route_scale, rtol=1e-5)
+    # group limiting: selected experts span at most n_limited_groups groups
+    eg = cfg.n_routed_experts // cfg.n_expert_groups
+    groups = np.asarray(indices) // eg
+    for row in groups:
+        assert len(set(row.tolist())) <= cfg.n_limited_groups
+
+
+def test_quant_forward_and_bake(tiny_ds):
+    cfg, params, toks = tiny_ds
+    fq_cfg = W4A4
+    dense_fq, moe_fq = init_ds_fq(cfg, fq_cfg, seed=0)
+    logits_q = deepseek_forward(
+        cfg, params, toks, fq=(dense_fq, moe_fq), fq_cfg=fq_cfg, mode="calib",
+        compute_dtype=jnp.float32,
+    )
+    assert bool(jnp.isfinite(logits_q).all())
+    # eval = calib forward with baked transforms: must match exactly
+    baked = bake_ds_fq(dense_fq, moe_fq)
+    logits_b = deepseek_forward(
+        cfg, params, toks, fq=baked, fq_cfg=fq_cfg, mode="calib",
+        compute_dtype=jnp.float32,
+    )
+    np.testing.assert_allclose(np.asarray(logits_b), np.asarray(logits_q),
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_transform_invariance_ds(tiny_ds):
+    cfg, params, toks = tiny_ds
+    fq_cfg = dataclasses.replace(W4A4, quant_enabled=False, lwc=False, lac=False)
+    fq = init_ds_fq(cfg, fq_cfg, seed=1)
+    logits_fp = deepseek_forward(cfg, params, toks, compute_dtype=jnp.float32)
+    logits_t = deepseek_forward(cfg, params, toks, fq=fq, fq_cfg=fq_cfg,
+                                mode="calib", compute_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(logits_t), np.asarray(logits_fp),
+                               rtol=5e-3, atol=5e-3)
+
+
+def test_fp8_block_dequant():
+    w = jnp.ones((100, 70), jnp.float32)
+    scales = jnp.asarray([[2.0, 3.0], [4.0, 5.0]], jnp.float32)  # 128-blocks
+    out = fp8_block_dequant(w, scales, block=64)
+    assert out.shape == (100, 70)
+    assert float(out[0, 0]) == 2.0 and float(out[0, 69]) == 3.0
+    assert float(out[99, 0]) == 4.0 and float(out[99, 69]) == 5.0
+
+
+def test_calibrate_deepseek_runs(tiny_ds):
+    cfg, params, _ = tiny_ds
+    fq_cfg = dataclasses.replace(W4A4, epochs=1, cali_bsz=2, nsamples=4)
+    dense_fq, moe_fq = init_ds_fq(cfg, fq_cfg, seed=0)
+    toks = np.random.default_rng(1).integers(0, cfg.vocab_size, (4, 16)).astype(np.int32)
+    logs = []
+    d2, m2 = calibrate_deepseek(
+        cfg, fq_cfg, params, dense_fq, moe_fq, toks,
+        compute_dtype=jnp.float32, log=logs.append,
+    )
+    assert any("dense layer 0" in l for l in logs)
+    assert any("moe layer" in l for l in logs)
+    # transforms moved
+    delta = float(jnp.abs(m2.attn.qkv_trans.left.u - moe_fq.attn.qkv_trans.left.u).max())
+    assert delta > 1e-7
