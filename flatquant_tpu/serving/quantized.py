@@ -189,3 +189,101 @@ def quantize_kv_asym(t, clip=None, q_max: int = 15):
 
 def dequantize_kv(q, scale, zero):
     return ((q - zero) * scale).astype(jnp.bfloat16)
+
+
+# ---------------------------------------------------------------------------
+# QuaRot-style Hadamard baseline (OnlineTrans(trans="had") analog)
+# ---------------------------------------------------------------------------
+
+
+def hadamard_pair(n: int, dtype=jnp.bfloat16):
+    from flatquant_tpu.core.hadamard import get_hadK, hadamard_matrix
+    import numpy as np
+
+    mat, k, _ = get_hadK(n)
+    m2 = n // k
+    right_np, _ = hadamard_matrix(m2)
+    right = jnp.asarray(right_np / np.sqrt(m2), dtype)
+    if k == 1:
+        # pure power of two: split into two pow2 factors for the kron form
+        from flatquant_tpu.core.kron import get_decompose_dim
+
+        a, b = get_decompose_dim(n)
+        la, _ = hadamard_matrix(a)
+        rb, _ = hadamard_matrix(b)
+        return (jnp.asarray(la / np.sqrt(a), dtype), jnp.asarray(rb / np.sqrt(b), dtype))
+    left = jnp.asarray(mat / np.sqrt(k), dtype)
+    return (left, right)
+
+
+def build_hadamard_serving_params(
+    cfg: LlamaConfig,
+    fq_cfg: FQConfig,
+    params: dict,
+    dtype=jnp.bfloat16,
+) -> dict:
+    """QuaRot-style W4A4 serving model: fixed Hadamard rotations in place of
+    learned transforms (benchmark baseline; layer_benchmark.py's "had"
+    config). Orthonormal rotations are self-inverse-transpose, so weights
+    fuse with the same matrices the activations use online."""
+    from flatquant_tpu.core.hadamard import hadamard_matrix
+    import numpy as np
+
+    w_cfg = fq_cfg.w_cfg
+
+    ln_pair = hadamard_pair(cfg.hidden_size, dtype)
+    down_pair = hadamard_pair(cfg.intermediate_size, dtype)
+    o_np, _ = hadamard_matrix(cfg.num_heads)
+    o_mat = jnp.asarray(o_np / np.sqrt(cfg.num_heads), dtype)
+    k_np, _ = hadamard_matrix(cfg.head_dim)
+    k_mat = jnp.asarray(k_np / np.sqrt(cfg.head_dim), dtype)
+
+    def kron_w(w, pair):
+        from flatquant_tpu.core.kron import kronecker_matmul
+
+        left, right = pair
+        return kronecker_matmul(
+            w.astype(jnp.float32), left.astype(jnp.float32), right.astype(jnp.float32)
+        )
+
+    def convert_layer(lp):
+        out = {
+            "ln1_w": lp["ln1_w"].astype(jnp.float32),
+            "ln2_w": lp["ln2_w"].astype(jnp.float32),
+            "ln_t": ln_pair,
+            "ug_t": ln_pair,
+            "down_t": down_pair,
+            "o_t": o_mat,
+            "k_t": k_mat,
+            "k_t_inv": k_mat,  # orthonormal: P^{-T} == P
+            "v_t_inv": k_mat,
+        }
+        # v_proj gets the per-head rotation fused on its output dim; o_proj
+        # undoes it via kron(o, k) on its input rows
+        v_w = lp["wv"].astype(jnp.float32)
+        v_w = (v_w.T.reshape(-1, cfg.head_dim) @ k_mat.astype(jnp.float32)).reshape(v_w.shape[1], v_w.shape[0]).T
+        o_w = kron_w(lp["wo"], (o_mat, k_mat))
+        for name, w in (("q", kron_w(lp["wq"], ln_pair)),
+                        ("k", kron_w(lp["wk"], ln_pair)),
+                        ("v", kron_w(v_w, ln_pair)),
+                        ("o", o_w),
+                        ("up", kron_w(lp["wup"], ln_pair)),
+                        ("gate", kron_w(lp["wgate"], ln_pair)),
+                        ("down", kron_w(lp["wdown"], down_pair))):
+            out[name] = _pack_linear(w, w_cfg)
+        for bkey in ("bq", "bk", "bv"):
+            if lp.get(bkey) is not None:
+                b = lp[bkey].astype(jnp.float32)
+                if bkey == "bv":
+                    b = (b.reshape(-1, cfg.head_dim) @ k_mat.astype(jnp.float32)).reshape(-1)
+                out[bkey] = b
+        return out
+
+    layers = jax.vmap(convert_layer)(params["layers"])
+    head = params.get("lm_head", params["embed"])
+    return {
+        "embed": params["embed"].astype(dtype),
+        "final_norm_w": params["final_norm_w"].astype(jnp.float32),
+        "lm_head": head.astype(dtype),
+        "layers": layers,
+    }

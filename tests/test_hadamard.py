@@ -1,0 +1,99 @@
+"""Hadamard construction, flatness analysis, QuaRot baseline tests."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from flatquant_tpu.core.hadamard import (
+    fwht,
+    get_hadK,
+    hadamard_matrix,
+    matmul_hadU,
+    random_hadamard_matrix,
+)
+
+
+@pytest.mark.parametrize("k", [12, 20, 28, 36, 40, 44, 48, 60, 108, 140])
+def test_hadamard_constructions(k):
+    h, is_had = hadamard_matrix(k)
+    assert is_had
+    assert np.abs(np.abs(h) - 1).max() < 1e-9
+    assert np.abs(h @ h.T - k * np.eye(k)).max() < 1e-9
+
+
+def test_get_hadK_model_dims():
+    for n, expect_had in ((4096, True), (14336, True), (28672, True),
+                          (13824, True), (5120, True), (11008, False)):
+        mat, k, is_had = get_hadK(n)
+        assert is_had == expect_had, n
+
+
+def test_fwht_matches_dense(rng):
+    n = 64
+    x = jnp.asarray(rng.standard_normal((3, n)), jnp.float32)
+    h, _ = hadamard_matrix(n)
+    got = fwht(x)
+    # fwht equals multiplication by SOME Hadamard matrix; verify
+    # orthogonality-scaled: fwht(fwht(x)) == n * x for the Sylvester order
+    np.testing.assert_allclose(fwht(got), n * x, rtol=1e-4, atol=1e-3)
+
+
+def test_matmul_hadU_fusion_identity(rng):
+    for n in (256, 688, 864):
+        x = jnp.asarray(rng.standard_normal((4, n)), jnp.float32)
+        w = jnp.asarray(rng.standard_normal((6, n)), jnp.float32)
+        np.testing.assert_allclose(
+            matmul_hadU(x) @ matmul_hadU(w).T, x @ w.T, rtol=2e-3, atol=2e-3
+        )
+
+
+def test_random_hadamard_orthogonal():
+    r = random_hadamard_matrix(64, seed=3)
+    np.testing.assert_allclose(r @ r.T, np.eye(64), atol=1e-4)
+
+
+def test_flatness_analysis():
+    from flatquant_tpu.evals.flatness import model_flatness
+    from flatquant_tpu.models.config import get_config
+    from flatquant_tpu.models.llama import init_params
+    from flatquant_tpu.quantize.spec import W4A4
+    from flatquant_tpu.quantize.state import init_model_fq
+
+    cfg = get_config("tiny-llama")
+    params = init_params(cfg, seed=0)
+    # outlier channels: transforms should flatten them
+    params["embed"] = params["embed"].at[:, :2].mul(20.0)
+    fq = init_model_fq(cfg, W4A4, seed=0)
+    toks = jnp.asarray(np.random.default_rng(0).integers(0, cfg.vocab_size, (1, 32)))
+    res = model_flatness(cfg, params, fq, toks, layers=(0,))
+    m = res[0]
+    assert set(m) == {"vanilla", "hadamard", "smoothquant", "flatquant"}
+    # flatness metric: max/mean channel-norm ratio drops under rotation
+    def peakiness(v):
+        return float(v.max() / v.mean())
+    assert peakiness(m["hadamard"]["act"]) < peakiness(m["vanilla"]["act"])
+    assert peakiness(m["flatquant"]["act"]) < peakiness(m["vanilla"]["act"])
+
+
+def test_quarot_serving_baseline():
+    from flatquant_tpu.models.config import get_config
+    from flatquant_tpu.models.llama import init_params, llama_forward
+    from flatquant_tpu.quantize.spec import W4A4
+    from flatquant_tpu.serving.engine import init_cache, serving_prefill
+    from flatquant_tpu.serving.quantized import build_hadamard_serving_params
+
+    cfg = get_config("tiny-llama")
+    params = init_params(cfg, seed=0)
+    sp = build_hadamard_serving_params(cfg, W4A4, params, dtype=jnp.float32)
+    toks = np.random.default_rng(0).integers(0, cfg.vocab_size, (1, 12)).astype(np.int32)
+    cache = init_cache(cfg, 1, 16, dtype=jnp.float32)
+    logits, _ = serving_prefill(cfg, W4A4, sp, jnp.asarray(toks), cache,
+                                use_kernel=False, max_len=16,
+                                compute_dtype=jnp.float32)
+    assert bool(jnp.isfinite(logits).all())
+    # rotations + quant should stay close to the fp model on smooth inputs
+    fp = llama_forward(cfg, params, jnp.asarray(toks), compute_dtype=jnp.float32)[:, -1]
+    corr = np.corrcoef(np.asarray(logits).ravel(), np.asarray(fp).ravel())[0, 1]
+    assert corr > 0.95, corr
