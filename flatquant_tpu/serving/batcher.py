@@ -1,0 +1,161 @@
+"""Continuous batching scheduler over the quantized serving engine.
+
+The reference delegates serving to vLLM (vllm_custom/, TP/PP fake-quant
+models); here continuous batching is first-party and TPU-shaped:
+
+  - a fixed pool of B batch slots shares one static-shape KV cache (XLA
+    never re-specializes on batch composition)
+  - every decode step advances ALL active slots in one jitted call with a
+    per-slot position vector
+  - when a slot finishes (EOS / max_new_tokens) the next queued request is
+    prefilled directly into that slot (its prompt cache scatters into the
+    slot's rows) while other slots' state is untouched
+
+Greedy results are bit-identical to single-request generation — slot
+isolation is tested on exactly that property.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from flatquant_tpu.models.config import LlamaConfig
+from flatquant_tpu.quantize.spec import FQConfig
+from flatquant_tpu.serving.engine import _forward, init_cache
+
+
+@dataclasses.dataclass
+class Request:
+    rid: int
+    prompt: np.ndarray  # [S] int32
+    max_new_tokens: int
+    eos_id: Optional[int] = None
+    out_tokens: Optional[List[int]] = None
+
+
+class ContinuousBatcher:
+    def __init__(
+        self,
+        cfg: LlamaConfig,
+        fq_cfg: FQConfig,
+        serving_params: dict,
+        batch_slots: int = 4,
+        max_len: int = 2048,
+        use_kernel: bool = False,
+        compute_dtype=jnp.float32,
+    ):
+        self.cfg = cfg
+        self.fq_cfg = fq_cfg
+        self.sp = serving_params
+        self.B = batch_slots
+        self.max_len = max_len
+        self.use_kernel = use_kernel
+        self.compute_dtype = compute_dtype
+
+        self.cache = init_cache(cfg, batch_slots, max_len, dtype=compute_dtype)
+        self.pos = np.zeros(batch_slots, np.int32)  # current length per slot
+        self.remaining = np.zeros(batch_slots, np.int32)
+        self.slot_req: List[Optional[Request]] = [None] * batch_slots
+        self.next_tok = np.zeros((batch_slots, 1), np.int32)
+        self.queue: List[Request] = []
+        self.finished: Dict[int, List[int]] = {}
+        self._rid = 0
+
+        cdt = compute_dtype
+
+        @jax.jit
+        def prefill_one(sp, tokens, cache1):
+            return _forward(cfg, fq_cfg, sp, tokens, cache1, 0, "prefill",
+                            use_kernel, max_len, cdt)
+
+        @jax.jit
+        def decode_multi(sp, toks, cache, pos_vec):
+            return _forward(cfg, fq_cfg, sp, toks, cache, pos_vec, "decode",
+                            use_kernel, max_len, cdt)
+
+        self._prefill_one = prefill_one
+        self._decode_multi = decode_multi
+
+    # -- public API ---------------------------------------------------------
+
+    def submit(self, prompt: np.ndarray, max_new_tokens: int, eos_id=None) -> int:
+        rid = self._rid
+        self._rid += 1
+        self.queue.append(Request(rid, np.asarray(prompt, np.int32),
+                                  max_new_tokens, eos_id, []))
+        return rid
+
+    @property
+    def idle(self) -> bool:
+        return not self.queue and all(r is None for r in self.slot_req)
+
+    def run(self, max_steps: int = 10**6) -> Dict[int, List[int]]:
+        steps = 0
+        while not self.idle and steps < max_steps:
+            self.step()
+            steps += 1
+        return self.finished
+
+    # -- internals ----------------------------------------------------------
+
+    def _admit(self):
+        for slot in range(self.B):
+            if self.slot_req[slot] is None and self.queue:
+                req = self.queue.pop(0)
+                self._prefill_into_slot(slot, req)
+
+    def _prefill_into_slot(self, slot: int, req: Request):
+        S = len(req.prompt)
+        assert S + req.max_new_tokens <= self.max_len
+        cache1 = init_cache(self.cfg, 1, self.max_len, dtype=self.compute_dtype)
+        logits, cache1 = self._prefill_one(
+            self.sp, jnp.asarray(req.prompt[None, :]), cache1
+        )
+        # scatter the prompt cache rows into this slot
+        self.cache = {
+            "k": self.cache["k"].at[:, slot, :].set(cache1["k"][:, 0]),
+            "v": self.cache["v"].at[:, slot, :].set(cache1["v"][:, 0]),
+        }
+        tok = int(jnp.argmax(logits[0]))
+        req.out_tokens.append(tok)
+        self.slot_req[slot] = req
+        self.pos[slot] = S
+        self.remaining[slot] = req.max_new_tokens - 1
+        self.next_tok[slot, 0] = tok
+        self._maybe_finish(slot)
+
+    def _maybe_finish(self, slot: int):
+        req = self.slot_req[slot]
+        if req is None:
+            return
+        done = self.remaining[slot] <= 0 or (
+            req.eos_id is not None and req.out_tokens and req.out_tokens[-1] == req.eos_id
+        )
+        if done:
+            self.finished[req.rid] = req.out_tokens
+            self.slot_req[slot] = None
+            self.remaining[slot] = 0
+
+    def step(self):
+        self._admit()
+        active = [s for s in range(self.B) if self.slot_req[s] is not None]
+        if not active:
+            return
+        logits, self.cache = self._decode_multi(
+            self.sp, jnp.asarray(self.next_tok), self.cache, jnp.asarray(self.pos)
+        )
+        toks = np.asarray(jnp.argmax(logits, axis=-1))
+        for slot in active:
+            req = self.slot_req[slot]
+            tok = int(toks[slot])
+            req.out_tokens.append(tok)
+            self.pos[slot] += 1
+            self.remaining[slot] -= 1
+            self.next_tok[slot, 0] = tok
+            self._maybe_finish(slot)

@@ -46,6 +46,11 @@ def init_cache(cfg: LlamaConfig, batch: int, max_len: int, dtype=jnp.bfloat16):
     return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
 
 
+def _rotate_half_rope(x):
+    half = x.shape[-1] // 2
+    return jnp.concatenate([-x[..., half:], x[..., :half]], axis=-1)
+
+
 def _apply_head_matrix(t, mat):
     """t [..., h, d] @ mat [d, d]."""
     return jnp.matmul(t.astype(mat.dtype), mat)
@@ -99,12 +104,22 @@ def serving_layer(
     k = k.reshape(B, S, nkv, hd)
     v = v.reshape(B, S, nkv, hd)
 
-    # rope at absolute positions [pos, pos+S)
-    cos_s = jax.lax.dynamic_slice_in_dim(cos, pos, S, axis=0)
-    sin_s = jax.lax.dynamic_slice_in_dim(sin, pos, S, axis=0)
+    # rope at absolute positions [pos, pos+S); pos may be a scalar or a
+    # per-slot [B] vector (continuous batching decode)
     from flatquant_tpu.models.llama import apply_rope
 
-    q, k = apply_rope(q, k, cos_s, sin_s)
+    per_slot = getattr(pos, "ndim", 0) == 1
+    if per_slot:
+        assert S == 1, "per-slot positions only in single-token decode"
+        cos_s = cos[pos][:, None]  # [B, 1, d]
+        sin_s = sin[pos][:, None]
+        qf = q * cos_s[:, :, None, :].astype(q.dtype) + _rotate_half_rope(q) * sin_s[:, :, None, :].astype(q.dtype)
+        kf = k * cos_s[:, :, None, :].astype(k.dtype) + _rotate_half_rope(k) * sin_s[:, :, None, :].astype(k.dtype)
+        q, k = qf, kf
+    else:
+        cos_s = jax.lax.dynamic_slice_in_dim(cos, pos, S, axis=0)
+        sin_s = jax.lax.dynamic_slice_in_dim(sin, pos, S, axis=0)
+        q, k = apply_rope(q, k, cos_s, sin_s)
 
     # K-space transform: cache holds k·Pk; queries move to the same space
     if "k_t" in sl:
@@ -114,17 +129,22 @@ def serving_layer(
     # quantize cache entries (asym per token-head)
     if k4:
         kq, ks, kz = quantize_kv_asym(k, sl.get("kc_clip"))
-        k_store = dequantize_kv(kq, ks, kz)
+        k_store = dequantize_kv(kq, ks, kz).astype(ck.dtype)
     else:
         k_store = k.astype(ck.dtype)
     if v4:
         vq, vs, vz = quantize_kv_asym(v, sl.get("vc_clip"))
-        v_store = dequantize_kv(vq, vs, vz)
+        v_store = dequantize_kv(vq, vs, vz).astype(cv.dtype)
     else:
         v_store = v.astype(cv.dtype)
 
-    ck = jax.lax.dynamic_update_slice_in_dim(ck, k_store, pos, axis=1)
-    cv = jax.lax.dynamic_update_slice_in_dim(cv, v_store, pos, axis=1)
+    if per_slot:
+        bidx = jnp.arange(B)
+        ck = ck.at[bidx, pos].set(k_store[:, 0])
+        cv = cv.at[bidx, pos].set(v_store[:, 0])
+    else:
+        ck = jax.lax.dynamic_update_slice_in_dim(ck, k_store, pos, axis=1)
+        cv = jax.lax.dynamic_update_slice_in_dim(cv, v_store, pos, axis=1)
 
     # ---- attention scores ----
     n_rep = nh // nkv
@@ -138,9 +158,10 @@ def serving_layer(
     else:
         kv_len = ck.shape[1]
         k_att, v_att = ck, cv
-        # valid positions: <= pos + S - 1
+        # valid positions: <= pos + S - 1 (per slot when pos is a vector)
         ids = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, kv_len), 3)
-        bias = jnp.where(ids <= pos + S - 1, 0.0, -1e9)
+        limit = (pos.reshape(-1, 1, 1, 1) if per_slot else pos) + S - 1
+        bias = jnp.where(ids <= limit, 0.0, -1e9)
     if n_rep > 1:
         k_att = jnp.repeat(k_att, n_rep, axis=2)
         v_att = jnp.repeat(v_att, n_rep, axis=2)
