@@ -1,0 +1,203 @@
+"""Int4 paged-free KV cache: packed storage + fused decode attention.
+
+Replaces the reference's FlashInfer CUDA fork (deploy/kernels/include/
+flashinfer/{decode,page,quantization}.cuh + kv_cache.py host logic):
+  - asymmetric int4 per (token, head) over head_dim, codes 0..15 packed
+    planar 2/byte with fp32 (scale, zero) per (token, head)
+    (asym_quantize_and_pack_i4 analog, kv_cache.py:11-51)
+  - decode attention dequantizes K/V tiles inside VMEM while streaming the
+    packed cache from HBM (BatchDecodeWithPagedKVCacheKernel analog) —
+    4x less cache traffic than bf16, the dominant decode cost at long
+    context
+  - GQA: queries grouped per kv-head so the MXU sees [n_rep, hd] x
+    [hd, S_blk] tiles
+
+TPU layout notes: head_dim is the packed axis (128 -> 64 bytes, one lane
+group); the S axis tiles in BLOCK_S rows. The kernel uses one grid step
+per (batch, kv_head) with an inner fori over S blocks carrying an online
+softmax (m, l, acc) — the classic flash-decode recurrence.
+
+A pure-XLA reference implementation (used on CPU and as the correctness
+oracle) is provided by `decode_attention_ref`.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+# ---------------------------------------------------------------------------
+# quantize / pack (cache writes)
+# ---------------------------------------------------------------------------
+
+
+def quantize_pack_kv(t, clip=None):
+    """t [..., hd] -> (packed uint8 [..., hd/2], scale [..., 1], zero [..., 1]).
+
+    Asym int4 per (token, head): codes q = clip(round(x/scale)+zero, 0, 15),
+    packed planar (byte c = q[c] | q[c + hd/2] << 4).
+    """
+    hd = t.shape[-1]
+    tf = t.astype(jnp.float32)
+    tmax = jnp.maximum(jnp.max(tf, axis=-1, keepdims=True), 0.0)
+    tmin = jnp.minimum(jnp.min(tf, axis=-1, keepdims=True), 0.0)
+    if clip is not None:
+        cmax, cmin = clip
+        tmax = tmax * cmax
+        tmin = tmin * cmin
+    degenerate = (tmin == 0) & (tmax == 0)
+    tmin = jnp.where(degenerate, -1.0, tmin)
+    tmax = jnp.where(degenerate, 1.0, tmax)
+    scale = (tmax - tmin) / 15.0
+    zero = jnp.round(-tmin / scale)
+    q = jnp.clip(jnp.round(tf / scale) + zero, 0, 15).astype(jnp.uint8)
+    lo = q[..., : hd // 2]
+    hi = q[..., hd // 2 :]
+    return lo | (hi << 4), scale, zero
+
+
+def unpack_dequant_kv(packed, scale, zero, dtype=jnp.bfloat16):
+    """Inverse of quantize_pack_kv (XLA reference path)."""
+    lo = (packed & 0xF).astype(jnp.float32)
+    hi = ((packed >> 4) & 0xF).astype(jnp.float32)
+    q = jnp.concatenate([lo, hi], axis=-1)
+    return ((q - zero) * scale).astype(dtype)
+
+
+# ---------------------------------------------------------------------------
+# XLA reference decode attention
+# ---------------------------------------------------------------------------
+
+
+def decode_attention_ref(q, kp, ks, kz, vp, vs, vz, valid_len, sm_scale):
+    """q [B, nh, hd]; kp/vp [B, nkv, S, hd/2]; ks.. [B, nkv, S, 1].
+
+    Returns [B, nh, hd]. valid_len: scalar or [B] — positions < valid_len
+    attend.
+    """
+    B, nkv, S, _ = kp.shape
+    nh = q.shape[1]
+    n_rep = nh // nkv
+    k = unpack_dequant_kv(kp, ks, kz, jnp.float32)  # [B, nkv, S, hd]
+    v = unpack_dequant_kv(vp, vs, vz, jnp.float32)
+    if n_rep > 1:
+        k = jnp.repeat(k, n_rep, axis=1)
+        v = jnp.repeat(v, n_rep, axis=1)
+    scores = jnp.einsum("bhd,bhsd->bhs", q.astype(jnp.float32), k) * sm_scale
+    ids = jax.lax.broadcasted_iota(jnp.int32, (1, 1, S), 2)
+    lim = valid_len.reshape(-1, 1, 1) if getattr(valid_len, "ndim", 0) == 1 else valid_len
+    scores = jnp.where(ids < lim, scores, -jnp.inf)
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("bhs,bhsd->bhd", probs, v)
+    return out.astype(q.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Pallas fused kernel
+# ---------------------------------------------------------------------------
+
+
+def _decode_kernel(valid_ref, q_ref, kp_ref, kparam_ref, vp_ref, vparam_ref,
+                   o_ref, *, sm_scale, block_s, hd):
+    """Grid: (B, nkv). Blocks:
+    q [1, n_rep, hd]; kp/vp [1, S, hd/2] (this kv head);
+    kparam/vparam [1, S, 2] (scale, zero); o [1, n_rep, hd].
+    Online softmax over S blocks.
+    """
+    b = pl.program_id(0)
+    valid = valid_ref[b]
+    S = kp_ref.shape[2]
+    n_rep = q_ref.shape[2]
+    q = q_ref[0, 0].astype(jnp.float32)  # [n_rep, hd]
+
+    def body(si, carry):
+        m, l, acc = carry
+        start = si * block_s
+        kp = kp_ref[0, 0, pl.ds(start, block_s), :].astype(jnp.int32)
+        kpar = kparam_ref[0, 0, pl.ds(start, block_s), :]
+        ksc = kpar[:, 0:1]
+        kzr = kpar[:, 1:2]
+        lo = (kp & 0xF).astype(jnp.float32)
+        hi = (kp >> 4).astype(jnp.float32)
+        kblk = jnp.concatenate([lo, hi], axis=1)  # [bs, hd] codes
+        kblk = (kblk - kzr) * ksc
+        s = jax.lax.dot_general(
+            q, kblk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * sm_scale  # [n_rep, bs]
+        ids = jax.lax.broadcasted_iota(jnp.int32, (1, block_s), 1) + start
+        s = jnp.where(ids < valid, s, -jnp.inf)
+
+        m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
+        p = jnp.exp(s - m_new)  # [n_rep, bs]
+        corr = jnp.exp(m - m_new)
+        l_new = l * corr + jnp.sum(p, axis=1, keepdims=True)
+
+        vp = vp_ref[0, 0, pl.ds(start, block_s), :].astype(jnp.int32)
+        vpar = vparam_ref[0, 0, pl.ds(start, block_s), :]
+        vsc = vpar[:, 0:1]
+        vzr = vpar[:, 1:2]
+        vlo = (vp & 0xF).astype(jnp.float32)
+        vhi = (vp >> 4).astype(jnp.float32)
+        vblk = jnp.concatenate([vlo, vhi], axis=1)
+        vblk = (vblk - vzr) * vsc  # [bs, hd]
+        acc_new = acc * corr + jax.lax.dot_general(
+            p, vblk, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        return m_new, l_new, acc_new
+
+    m0 = jnp.full((n_rep, 1), -jnp.inf, jnp.float32)
+    l0 = jnp.zeros((n_rep, 1), jnp.float32)
+    acc0 = jnp.zeros((n_rep, hd), jnp.float32)
+    n_blocks = S // block_s
+    m, l, acc = jax.lax.fori_loop(0, n_blocks, body, (m0, l0, acc0))
+    o_ref[0, 0] = (acc / l).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("sm_scale", "block_s", "interpret")
+)
+def decode_attention_int4(q, kp, kparam, vp, vparam, valid_len,
+                          sm_scale: float, block_s: int = 128,
+                          interpret: bool = False):
+    """Fused int4-KV decode attention.
+
+    q [B, nh, hd] (already rotated into the K space); kp/vp
+    [B, nkv, S, hd/2] uint8 (head-contiguous cache layout); kparam/vparam
+    [B, nkv, S, 2] fp32 (scale, zero); valid_len [B] int32.
+    Returns [B, nh, hd].
+    """
+    B, nkv, S, hdh = kp.shape
+    hd = hdh * 2
+    nh = q.shape[1]
+    n_rep = nh // nkv
+    assert S % block_s == 0 or S <= block_s
+    bs = min(block_s, S)
+
+    # regroup queries per kv head: [B, nkv, n_rep, hd]
+    qg = q.reshape(B, nkv, n_rep, hd)
+    kp_t, vp_t, kparam_t, vparam_t = kp, vp, kparam, vparam
+
+    grid = (B, nkv)
+    out = pl.pallas_call(
+        functools.partial(_decode_kernel, sm_scale=sm_scale, block_s=bs, hd=hd),
+        out_shape=jax.ShapeDtypeStruct((B, nkv, n_rep, hd), q.dtype),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, 1, n_rep, hd), lambda b, h, *_: (b, h, 0, 0)),
+                pl.BlockSpec((1, 1, S, hdh), lambda b, h, *_: (b, h, 0, 0)),
+                pl.BlockSpec((1, 1, S, 2), lambda b, h, *_: (b, h, 0, 0)),
+                pl.BlockSpec((1, 1, S, hdh), lambda b, h, *_: (b, h, 0, 0)),
+                pl.BlockSpec((1, 1, S, 2), lambda b, h, *_: (b, h, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, 1, n_rep, hd), lambda b, h, *_: (b, h, 0, 0)),
+        ),
+        interpret=interpret,
+    )(valid_len.astype(jnp.int32), qg, kp_t, kparam_t, vp_t, vparam_t)
+    return out.reshape(B, nh, hd)

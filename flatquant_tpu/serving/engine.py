@@ -41,8 +41,22 @@ from flatquant_tpu.serving.quantized import (
 )
 
 
-def init_cache(cfg: LlamaConfig, batch: int, max_len: int, dtype=jnp.bfloat16):
-    shape = (cfg.num_layers, batch, max_len, cfg.num_kv_heads, cfg.head_dim)
+def init_cache(cfg: LlamaConfig, batch: int, max_len: int, dtype=jnp.bfloat16,
+               mode: str = "bf16"):
+    """KV cache buffers. mode="bf16": dequantized values (quant error applied
+    at write). mode="int4": packed nibbles + per-(token, head) scale/zero —
+    4x less HBM traffic, read by the Pallas flash-decode kernel."""
+    L, nkv, hd = cfg.num_layers, cfg.num_kv_heads, cfg.head_dim
+    if mode == "int4":
+        # [B, nkv, S, ...]: each kv head's stream is contiguous, so the
+        # flash-decode kernel reads it without a transpose copy
+        return {
+            "kp": jnp.zeros((L, batch, nkv, max_len, hd // 2), jnp.uint8),
+            "kparam": jnp.zeros((L, batch, nkv, max_len, 2), jnp.float32),
+            "vp": jnp.zeros((L, batch, nkv, max_len, hd // 2), jnp.uint8),
+            "vparam": jnp.zeros((L, batch, nkv, max_len, 2), jnp.float32),
+        }
+    shape = (L, batch, max_len, nkv, hd)
     return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
 
 
@@ -129,12 +143,12 @@ def serving_layer(
     # quantize cache entries (asym per token-head)
     if k4:
         kq, ks, kz = quantize_kv_asym(k, sl.get("kc_clip"))
-        k_store = dequantize_kv(kq, ks, kz).astype(ck.dtype)
+        k_store = dequantize_kv(kq, ks, kz, ck.dtype)
     else:
         k_store = k.astype(ck.dtype)
     if v4:
         vq, vs, vz = quantize_kv_asym(v, sl.get("vc_clip"))
-        v_store = dequantize_kv(vq, vs, vz).astype(cv.dtype)
+        v_store = dequantize_kv(vq, vs, vz, cv.dtype)
     else:
         v_store = v.astype(cv.dtype)
 
@@ -194,11 +208,132 @@ def serving_layer(
     return x, ck, cv
 
 
+def serving_layer_int4cache(
+    cfg, fq_cfg, sl, x, cos, sin, kp, kparam, vp, vparam, pos, phase,
+    use_kernel, compute_dtype,
+):
+    """serving_layer variant over the packed int4 cache (scalar pos only).
+
+    Prefill: quantize+pack the prompt K/V into the cache, attend
+    unquantized (reference prefill accuracy trick). Decode: one token via
+    the fused int4 flash-decode kernel (kernels.kv_cache).
+    """
+    from flatquant_tpu.kernels.kv_cache import (
+        decode_attention_int4,
+        decode_attention_ref,
+        quantize_pack_kv,
+    )
+    from flatquant_tpu.serving.quantized import _quant_linear, kron_transform
+
+    B, S, H = x.shape
+    nh, nkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+
+    def qlin(h, lin, bias=None):
+        y = _quant_linear(h.reshape(-1, h.shape[-1]), lin, use_kernel, compute_dtype)
+        y = y.reshape(h.shape[:-1] + (lin["scale"].shape[0],))
+        if bias is not None:
+            y = y + bias.astype(y.dtype)
+        return y
+
+    h = rms_norm(x, sl["ln1_w"], cfg.rms_eps)
+    if "ln_t" in sl:
+        h = kron_transform(h, sl["ln_t"])
+    q = qlin(h, sl["q"], sl.get("bq")).reshape(B, S, nh, hd)
+    k = qlin(h, sl["k"], sl.get("bk")).reshape(B, S, nkv, hd)
+    v = qlin(h, sl["v"], sl.get("bv")).reshape(B, S, nkv, hd)
+
+    from flatquant_tpu.models.llama import apply_rope
+
+    cos_s = jax.lax.dynamic_slice_in_dim(cos, pos, S, axis=0)
+    sin_s = jax.lax.dynamic_slice_in_dim(sin, pos, S, axis=0)
+    q, k = apply_rope(q, k, cos_s, sin_s)
+    if "k_t" in sl:
+        k = _apply_head_matrix(k, sl["k_t"])
+        q = _apply_head_matrix(q, sl["k_t_inv"])
+
+    kq, ksc, kzr = quantize_pack_kv(k, sl.get("kc_clip"))
+    vq, vsc, vzr = quantize_pack_kv(v, sl.get("vc_clip"))
+    # new tokens [B, S, nkv, ...] -> cache layout [B, nkv, S, ...]
+    tr = lambda t: jnp.swapaxes(t, 1, 2)
+    kp = jax.lax.dynamic_update_slice_in_dim(kp, tr(kq), pos, axis=2)
+    vp = jax.lax.dynamic_update_slice_in_dim(vp, tr(vq), pos, axis=2)
+    kparam = jax.lax.dynamic_update_slice_in_dim(
+        kparam, tr(jnp.concatenate([ksc, kzr], -1)), pos, axis=2
+    )
+    vparam = jax.lax.dynamic_update_slice_in_dim(
+        vparam, tr(jnp.concatenate([vsc, vzr], -1)), pos, axis=2
+    )
+
+    sm_scale = 1.0 / float(np.sqrt(hd))
+    if phase == "prefill":
+        n_rep = nh // nkv
+        k_att, v_att = k, v
+        if n_rep > 1:
+            k_att = jnp.repeat(k_att, n_rep, axis=2)
+            v_att = jnp.repeat(v_att, n_rep, axis=2)
+        causal = jnp.tril(jnp.ones((S, S), bool))
+        bias = jnp.where(causal, 0.0, -1e9)[None, None]
+        scores = jnp.einsum(
+            "bqhd,bkhd->bhqk", q.astype(compute_dtype), k_att.astype(compute_dtype)
+        ).astype(jnp.float32) * sm_scale + bias
+        probs = jax.nn.softmax(scores, axis=-1).astype(compute_dtype)
+        attn = jnp.einsum("bhqk,bkhd->bqhd", probs, v_att.astype(compute_dtype))
+    else:
+        valid = jnp.full((B,), pos + 1, jnp.int32)
+        if use_kernel:
+            attn = decode_attention_int4(
+                q[:, 0], kp, kparam, vp, vparam, valid, sm_scale
+            )[:, None]
+        else:
+            attn = decode_attention_ref(
+                q[:, 0], kp, kparam[..., 0:1], kparam[..., 1:2],
+                vp, vparam[..., 0:1], vparam[..., 1:2], valid, sm_scale
+            )[:, None]
+
+    if "o_t" in sl:
+        attn = jnp.einsum("ji,bsjd->bsid", sl["o_t"].astype(attn.dtype), attn)
+    elif "v_t_inv" in sl:
+        attn = jnp.matmul(attn, sl["v_t_inv"].T.astype(attn.dtype))
+    attn = attn.reshape(B, S, nh * hd)
+    x = x + qlin(attn, sl["o"])
+
+    h2 = rms_norm(x, sl["ln2_w"], cfg.rms_eps)
+    if "ug_t" in sl:
+        h2 = kron_transform(h2, sl["ug_t"])
+    up = qlin(h2, sl["up"])
+    gate = qlin(h2, sl["gate"])
+    act = jax.nn.silu(gate) * up
+    if "down_t" in sl:
+        act = kron_transform(act, sl["down_t"])
+    x = x + qlin(act, sl["down"])
+    return x, kp, kparam, vp, vparam
+
+
 def _forward(cfg, fq_cfg, sp, tokens, cache, pos, phase, use_kernel, max_len,
              compute_dtype=jnp.bfloat16):
     B, S = tokens.shape
     x = sp["embed"][tokens].astype(compute_dtype)
     cos, sin = _rope_slice(cfg, max_len)
+
+    if "kp" in cache:  # packed int4 cache mode
+        def body4(carry, xs):
+            x = carry
+            sl, kp, kparam, vp, vparam = xs
+            x, kp, kparam, vp, vparam = serving_layer_int4cache(
+                cfg, fq_cfg, sl, x, cos, sin, kp, kparam, vp, vparam, pos,
+                phase, use_kernel, compute_dtype,
+            )
+            return x, (kp, kparam, vp, vparam)
+
+        x, (kp, kparam, vp, vparam) = jax.lax.scan(
+            body4, x,
+            (sp["layers"], cache["kp"], cache["kparam"], cache["vp"], cache["vparam"]),
+        )
+        x = rms_norm(x, sp["final_norm_w"], cfg.rms_eps)
+        logits = jnp.matmul(x[:, -1], sp["lm_head"].T.astype(x.dtype))
+        return logits.astype(jnp.float32), {
+            "kp": kp, "kparam": kparam, "vp": vp, "vparam": vparam
+        }
 
     def body(carry, xs):
         x = carry

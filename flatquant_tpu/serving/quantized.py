@@ -187,8 +187,8 @@ def quantize_kv_asym(t, clip=None, q_max: int = 15):
     return q, scale, zero
 
 
-def dequantize_kv(q, scale, zero):
-    return ((q - zero) * scale).astype(jnp.bfloat16)
+def dequantize_kv(q, scale, zero, dtype=jnp.bfloat16):
+    return ((q - zero) * scale).astype(dtype)
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,69 @@
+"""Int4 KV cache kernel tests (interpret mode vs XLA oracle)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from flatquant_tpu.kernels.kv_cache import (
+    decode_attention_int4,
+    decode_attention_ref,
+    quantize_pack_kv,
+    unpack_dequant_kv,
+)
+
+
+def _mk(rng, B, S, nkv, nh, hd):
+    k = jnp.asarray(rng.standard_normal((B, nkv, S, hd)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, nkv, S, hd)), jnp.float32)
+    kp, ks, kz = quantize_pack_kv(k)
+    vp, vs, vz = quantize_pack_kv(v)
+    q = jnp.asarray(rng.standard_normal((B, nh, hd)), jnp.bfloat16)
+    return q, (kp, ks, kz), (vp, vs, vz)
+
+
+def test_quantize_pack_roundtrip(rng):
+    t = jnp.asarray(rng.standard_normal((3, 7, 2, 64)), jnp.float32)
+    p, s, z = quantize_pack_kv(t)
+    assert p.dtype == jnp.uint8 and p.shape[-1] == 32
+    back = unpack_dequant_kv(p, s, z, jnp.float32)
+    assert float(jnp.max(jnp.abs(back - t))) <= float(s.max()) / 2 + 1e-6
+
+
+def test_quantize_pack_with_clip(rng):
+    t = jnp.asarray(rng.standard_normal((4, 2, 1, 32)), jnp.float32)
+    clip = (jnp.float32(0.5), jnp.float32(0.5))
+    p, s, _ = quantize_pack_kv(t, clip)
+    p2, s2, _ = quantize_pack_kv(t)
+    assert float(s.max()) < float(s2.max())
+
+
+@pytest.mark.parametrize("shape", [(2, 256, 2, 8, 64), (1, 128, 4, 4, 128)])
+def test_decode_kernel_matches_ref(rng, shape):
+    B, S, nkv, nh, hd = shape
+    q, (kp, ks, kz), (vp, vs, vz) = _mk(rng, B, S, nkv, nh, hd)
+    valid = jnp.asarray(rng.integers(1, S, B), jnp.int32)
+    kparam = jnp.concatenate([ks, kz], -1)
+    vparam = jnp.concatenate([vs, vz], -1)
+    ref = decode_attention_ref(q, kp, ks, kz, vp, vs, vz, valid, 0.125)
+    out = decode_attention_int4(q, kp, kparam, vp, vparam, valid, 0.125,
+                                block_s=64, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32), atol=5e-3
+    )
+
+
+def test_decode_kernel_valid_len_1(rng):
+    """Edge: only one valid position -> output equals that position's V."""
+    B, S, nkv, nh, hd = 1, 64, 1, 2, 64
+    q, (kp, ks, kz), (vp, vs, vz) = _mk(rng, B, S, nkv, nh, hd)
+    valid = jnp.asarray([1], jnp.int32)
+    kparam = jnp.concatenate([ks, kz], -1)
+    vparam = jnp.concatenate([vs, vz], -1)
+    out = decode_attention_int4(q, kp, kparam, vp, vparam, valid, 0.125,
+                                block_s=64, interpret=True)
+    v0 = unpack_dequant_kv(vp, vs, vz, jnp.float32)[0, 0, 0]
+    # output is bf16: one ulp at |v|~1 is ~0.008
+    np.testing.assert_allclose(np.asarray(out[0, 0], np.float32), np.asarray(v0),
+                               atol=1e-2)
