@@ -42,8 +42,10 @@ from flatquant_tpu.serving.quantized import build_serving_params
 # while compile time through the remote tunnel compiler stays bounded
 # (~7 min per decode loop; shapes are pinned so reruns hit the persistent
 # compile cache at /root/.cache/jax_tpu_cache)
+# vocab trimmed so the (unquantized, shared) lm_head matmul doesn't mask
+# the decoder-layer speedup — the quantity this metric tracks
 BENCH_CFG = dataclasses.replace(
-    get_config("llama-2-7b"), name="diag", num_layers=2, vocab_size=32000
+    get_config("llama-2-7b"), name="bench", num_layers=2, vocab_size=2048
 )
 N_STEPS = 16
 BATCH = 1
