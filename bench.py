@@ -86,7 +86,8 @@ def main():
         params = init_params(cfg, seed=0)
         fq = init_model_fq(cfg, fq_cfg, seed=0)
         baked, baked_fq = bake_model(cfg, fq_cfg, params, fq)
-        sp_host = build_serving_params(cfg, fq_cfg, baked, baked_fq)
+        sp_host = build_serving_params(cfg, fq_cfg, baked, baked_fq,
+                                       merge_projections=True)
         bp_host = build_bf16_params(cfg, params)
     tpu = jax.devices()[0]
     sp = jax.device_put(sp_host, tpu)

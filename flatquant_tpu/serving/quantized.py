@@ -65,9 +65,17 @@ def build_serving_params(
     baked_params: dict,
     baked_fq,
     dtype=jnp.bfloat16,
+    merge_projections: bool = False,
 ) -> dict:
     """Convert a reparameterized (bake_model, NOT rtn-quantized) model into
-    the packed serving format. Stacked over layers like the fp params."""
+    the packed serving format. Stacked over layers like the fp params.
+
+    merge_projections=True fuses q/k/v into one packed GEMM and up/gate
+    into another (vLLM QKVParallelLinear / MergedColumnParallelLinear
+    analog, llama_flatquant.py:171-187): one per-token quantization + one
+    kernel dispatch instead of three. The merged input uses the q (resp.
+    up) branch's LAC clip factors — a serving-level approximation; leave
+    False for exact fake-vs-real parity checks."""
     assert fq_cfg.w_cfg.sym and fq_cfg.w_cfg.group_size <= 0, (
         "real-quant path currently supports symmetric per-channel weights "
         "(the reference CUTLASS path has the same restriction, REALQUANT.md)"
@@ -80,12 +88,24 @@ def build_serving_params(
             "ln1_w": lp["ln1_w"].astype(jnp.float32),
             "ln2_w": lp["ln2_w"].astype(jnp.float32),
         }
-        for name, key in (("q", "wq"), ("k", "wk"), ("v", "wv"), ("o", "wo"),
-                          ("up", "wup"), ("gate", "wgate"), ("down", "wdown")):
-            out[name] = _pack_linear(lp[key], w_cfg)
-        for bkey in ("bq", "bk", "bv"):
-            if lp.get(bkey) is not None:
-                out[bkey] = lp[bkey].astype(jnp.float32)
+        if merge_projections:
+            qkv_w = jnp.concatenate([lp["wq"], lp["wk"], lp["wv"]], axis=0)
+            out["qkv"] = _pack_linear(qkv_w, w_cfg)
+            ug_w = jnp.concatenate([lp["wup"], lp["wgate"]], axis=0)
+            out["upgate"] = _pack_linear(ug_w, w_cfg)
+            out["o"] = _pack_linear(lp["wo"], w_cfg)
+            out["down"] = _pack_linear(lp["wdown"], w_cfg)
+            if lp.get("bq") is not None:
+                out["bqkv"] = jnp.concatenate(
+                    [lp["bq"], lp["bk"], lp["bv"]], axis=0
+                ).astype(jnp.float32)
+        else:
+            for name, key in (("q", "wq"), ("k", "wk"), ("v", "wv"), ("o", "wo"),
+                              ("up", "wup"), ("gate", "wgate"), ("down", "wdown")):
+                out[name] = _pack_linear(lp[key], w_cfg)
+            for bkey in ("bq", "bk", "bv"):
+                if lp.get(bkey) is not None:
+                    out[bkey] = lp[bkey].astype(jnp.float32)
         # transform matrices (baked, diag already folded into norms)
         if a.ln_trans is not None:
             left, right = decompose_matrices(a.ln_trans)
@@ -106,8 +126,13 @@ def build_serving_params(
         # activation clip factors -> effective ratios (max and min kept
         # separate: the fake sym path clips each side before symmetrizing,
         # quant_utils.py:96-105 — serving must match exactly)
-        for nm, lin in (("q", a.q_lin), ("k", a.k_lin), ("v", a.v_lin), ("o", a.o_lin),
-                        ("up", m.up_lin), ("gate", m.gate_lin), ("down", m.down_lin)):
+        if merge_projections:
+            clip_map = (("qkv", a.q_lin), ("o", a.o_lin),
+                        ("upgate", m.up_lin), ("down", m.down_lin))
+        else:
+            clip_map = (("q", a.q_lin), ("k", a.k_lin), ("v", a.v_lin), ("o", a.o_lin),
+                        ("up", m.up_lin), ("gate", m.gate_lin), ("down", m.down_lin))
+        for nm, lin in clip_map:
             rmax = _clip_sigmoid(lin.clip_a_max)
             rmin = _clip_sigmoid(lin.clip_a_min)
             if rmax is not None:

@@ -129,7 +129,18 @@ def main(argv=None):
     log.info(f"devices: {jax.devices()}")
 
     # --- model ---
-    if args.hf_path:
+    is_deepseek = "deepseek" in args.model
+    if is_deepseek:
+        from flatquant_tpu.models.deepseek import (
+            DEEPSEEK_V3,
+            TINY_DEEPSEEK,
+            init_ds_params,
+        )
+
+        cfg = {"deepseek-v3": DEEPSEEK_V3, "tiny-deepseek": TINY_DEEPSEEK}[args.model]
+        params = init_ds_params(cfg, seed=args.seed)
+        log.info(f"random-init DeepSeek model {args.model}")
+    elif args.hf_path:
         cfg = config_from_hf_json(args.hf_path, name=args.model)
         params = load_hf_llama(args.hf_path, cfg)
         log.info(f"loaded HF checkpoint from {args.hf_path}")
@@ -153,6 +164,41 @@ def main(argv=None):
 
     quantize = fq_cfg.quantize
     eval_params, eval_fq = params, None
+    if quantize and is_deepseek:
+        from flatquant_tpu.models.deepseek import (
+            bake_ds_fq,
+            calibrate_deepseek,
+            deepseek_forward,
+            init_ds_fq,
+        )
+
+        dense_fq, moe_fq = init_ds_fq(cfg, fq_cfg, seed=args.seed)
+        if fq_cfg.cali_trans or fq_cfg.lwc or fq_cfg.lac or fq_cfg.add_diag:
+            dense_fq, moe_fq = calibrate_deepseek(
+                cfg, fq_cfg, params, dense_fq, moe_fq, data.train, log=log.info,
+                save_cb=lambda i, st: ckpt.save_flat_parameters(exp_dir, st),
+            )
+        eval_fq = bake_ds_fq(dense_fq, moe_fq)
+        if args.save_matrix:
+            ckpt.save_flat_matrices(exp_dir, eval_fq)
+            log.info("saved flat_matrices")
+        if args.eval_ppl:
+            import numpy as _np
+
+            d = get_loaders("synthetic", cfg.vocab_size, nsamples=2, seqlen=seqlen)
+            n = d.test.shape[1] // seqlen
+            total = 0.0
+            fwd = jax.jit(lambda p, f, t: deepseek_forward(
+                cfg, p, t, fq=f, fq_cfg=fq_cfg, mode="calib"))
+            for i in range(n):
+                chunk = jnp.asarray(d.test[:, i * seqlen:(i + 1) * seqlen])
+                logits = fwd(params, eval_fq, chunk)
+                lp_ = jax.nn.log_softmax(logits[:, :-1].astype(jnp.float32), -1)
+                nll = -jnp.take_along_axis(lp_, chunk[:, 1:, None], -1).mean()
+                total += float(nll) * seqlen
+            log.info(f"deepseek synthetic PPL: {float(_np.exp(total / (n * seqlen))):.4f}")
+        log.info("done")
+        return
     if quantize:
         fq_state = init_model_fq(cfg, fq_cfg, seed=args.seed)
         if args.reload_matrix:
