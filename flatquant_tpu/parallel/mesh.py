@@ -82,3 +82,50 @@ def shard_tree(tree, specs, mesh: Mesh):
 
 def batch_spec() -> P:
     return P("dp")
+
+
+def deepseek_param_specs(cfg, params: dict) -> dict:
+    """PartitionSpec tree for DeepSeek params: MLA heads tensor-parallel
+    (n_local_heads = n_heads/tp, deepseek_v3/model.py:413), dense FFN
+    megatron-style, routed experts sharded over the "ep" axis (experts
+    [start, end) per rank, model.py:655-690 — here: expert-axis sharding +
+    GSPMD psum over the contraction)."""
+
+    def attn_specs(lp):
+        d = {
+            "attn_norm": P(None, None),
+            "ffn_norm": P(None, None),
+            "wkv_a": P(None, None, None),
+            "kv_norm": P(None, None),
+            "wkv_b": P(None, "tp", None),
+            "wo": P(None, None, "tp"),
+        }
+        if "wq_a" in lp:
+            d.update(wq_a=P(None, None, None), q_norm=P(None, None),
+                     wq_b=P(None, "tp", None))
+        else:
+            d["wq"] = P(None, "tp", None)
+        return d
+
+    dense = attn_specs(params["dense_layers"])
+    dense.update(w1=P(None, "tp", None), w2=P(None, None, "tp"),
+                 w3=P(None, "tp", None))
+    moe = attn_specs(params["moe_layers"])
+    moe.update(
+        gate_w=P(None, None, None),
+        e_w1=P(None, "ep", None, None),
+        e_w2=P(None, "ep", None, None),
+        e_w3=P(None, "ep", None, None),
+        s_w1=P(None, "tp", None),
+        s_w2=P(None, None, "tp"),
+        s_w3=P(None, "tp", None),
+    )
+    if "gate_b" in params["moe_layers"]:
+        moe["gate_b"] = P(None, None)
+    return {
+        "embed": P(None, None),
+        "final_norm": P(None),
+        "head": P("tp", None),
+        "dense_layers": dense,
+        "moe_layers": moe,
+    }

@@ -62,3 +62,35 @@ def test_graft_entry_contract():
     out = jax.jit(fn)(*args)
     assert out.shape[0] == args[2].shape[0]
     mod.dryrun_multichip(8)
+
+
+def test_deepseek_sharded_forward_matches():
+    """dp x ep x tp mesh: MLA heads tp-sharded, experts ep-sharded."""
+    from flatquant_tpu.models.deepseek import (
+        TINY_DEEPSEEK,
+        deepseek_forward,
+        init_ds_fq,
+        init_ds_params,
+    )
+    from flatquant_tpu.parallel.mesh import deepseek_param_specs
+    from flatquant_tpu.quantize.spec import W4A4
+
+    cfg = TINY_DEEPSEEK
+    params = init_ds_params(cfg, seed=0)
+    fq = init_ds_fq(cfg, W4A4, seed=0)
+    tokens = np.random.default_rng(0).integers(0, cfg.vocab_size, (4, 16)).astype(np.int32)
+    ref = deepseek_forward(cfg, params, jnp.asarray(tokens), fq=fq, fq_cfg=W4A4,
+                           mode="calib", compute_dtype=jnp.float32)
+
+    mesh = make_mesh({"dp": 2, "ep": 2, "tp": 2})
+    sp = shard_tree(params, deepseek_param_specs(cfg, params), mesh)
+    sfq = shard_tree(fq, replicated_specs(fq), mesh)
+    toks = jax.device_put(jnp.asarray(tokens), NamedSharding(mesh, P("dp", None, )))
+
+    @jax.jit
+    def fwd(p, f, t):
+        return deepseek_forward(cfg, p, t, fq=f, fq_cfg=W4A4, mode="calib",
+                                compute_dtype=jnp.float32)
+
+    out = fwd(sp, sfq, toks)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=3e-4, atol=3e-4)
