@@ -405,8 +405,12 @@ def _linear(mode, quant, fq_cfg, x, w, b, st, qa=None, lwc=False):
 
 
 def ds_mla(cfg: DeepSeekConfig, fq_cfg, mode, lp, fqa: Optional[MLAFQ], x, cos, sin, mask,
-           stats=None):
-    """Absorbed-path MLA over the full sequence (calibration / eval)."""
+           stats=None, cache=None, pos=0):
+    """Absorbed-path MLA. Full-sequence when cache is None; with
+    cache=(kv_cache [B, Smax, kv_lora], pe_cache [B, Smax, rope]) attends
+    over positions [0, pos+S) and returns updated caches (the reference's
+    kv_cache/pe_cache absorbed-attention path, model.py:436-441,477-492).
+    """
     B, S, _ = x.shape
     quant = mode != "fp" and fqa is not None
     nh = cfg.n_heads
@@ -449,13 +453,32 @@ def ds_mla(cfg: DeepSeekConfig, fq_cfg, mode, lp, fqa: Optional[MLAFQ], x, cos, 
                        wkv_b[:, : cfg.qk_nope_head_dim].astype(jnp.float32)).astype(x.dtype)
     kv = rms_norm(kv, lp["kv_norm"], cfg.rms_eps)
 
+    if cache is not None:
+        kv_cache, pe_cache = cache
+        kv_cache = jax.lax.dynamic_update_slice_in_dim(
+            kv_cache, kv.astype(kv_cache.dtype), pos, axis=1
+        )
+        pe_cache = jax.lax.dynamic_update_slice_in_dim(
+            pe_cache, k_pe.astype(pe_cache.dtype), pos, axis=1
+        )
+        kv_att = kv_cache.astype(x.dtype)
+        pe_att = pe_cache.astype(x.dtype)
+        t_len = kv_cache.shape[1]
+        # causal-within-window + valid-length mask
+        tids = jax.lax.broadcasted_iota(jnp.int32, (1, S, 1, t_len), 3)
+        sids = jax.lax.broadcasted_iota(jnp.int32, (1, S, 1, t_len), 1) + pos
+        att_mask = jnp.where(tids <= sids, 0.0, -1e9)
+        cache = (kv_cache, pe_cache)
+    else:
+        kv_att, pe_att = kv, k_pe
+        att_mask = mask[:, :, None, :]
     scores = (
-        jnp.einsum("bshc,btc->bsht", q_abs, kv)
-        + jnp.einsum("bshr,btr->bsht", q_pe, k_pe)
+        jnp.einsum("bshc,btc->bsht", q_abs, kv_att)
+        + jnp.einsum("bshr,btr->bsht", q_pe, pe_att)
     ) * cfg.softmax_scale
-    scores = scores.astype(jnp.float32) + mask[:, :, None, :]
+    scores = scores.astype(jnp.float32) + att_mask
     probs = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
-    o = jnp.einsum("bsht,btc->bshc", probs, kv)
+    o = jnp.einsum("bsht,btc->bshc", probs, kv_att)
     o = jnp.einsum("bshc,hdc->bshd", o.astype(jnp.float32),
                    wkv_b[:, cfg.qk_nope_head_dim :].astype(jnp.float32)).astype(x.dtype)
     o = o.reshape(B, S, nh * cfg.v_head_dim)
@@ -465,8 +488,11 @@ def ds_mla(cfg: DeepSeekConfig, fq_cfg, mode, lp, fqa: Optional[MLAFQ], x, cos, 
     if quant and fqa.wo_trans is not None:
         o = apply_decompose(fqa.wo_trans, o)
     qa_o = fqa.wo_trans if (quant and mode == "calib") else None
-    return _linear(mode, quant, fq_cfg, o, lp["wo"], None,
-                   fqa.wo_lin if quant else None, qa=qa_o)
+    out = _linear(mode, quant, fq_cfg, o, lp["wo"], None,
+                  fqa.wo_lin if quant else None, qa=qa_o)
+    if cache is not None:
+        return out, cache
+    return out
 
 
 def _ffn_dense(cfg, fq_cfg, mode, lp, fqf: Optional[DenseFFNFQ], x, stats=None):
@@ -598,12 +624,16 @@ def _ffn_moe(cfg, fq_cfg, mode, lp, fqf: Optional[MoEFQ], x, stats=None):
 
 
 def ds_layer(cfg, fq_cfg, mode, lp, lfq, x, cos, sin, mask, moe: bool,
-             with_stats: bool = False):
+             with_stats: bool = False, cache=None, pos=0):
     stats = {} if with_stats else None
     fqa = lfq.attn if lfq is not None else None
     fqf = lfq.ffn if lfq is not None else None
     h = rms_norm(x, lp["attn_norm"], cfg.rms_eps)
-    x = x + ds_mla(cfg, fq_cfg, mode, lp, fqa, h, cos, sin, mask, stats=stats)
+    attn = ds_mla(cfg, fq_cfg, mode, lp, fqa, h, cos, sin, mask, stats=stats,
+                  cache=cache, pos=pos)
+    if cache is not None:
+        attn, cache = attn
+    x = x + attn
     h2 = rms_norm(x, lp["ffn_norm"], cfg.rms_eps)
     if moe:
         out = x + _ffn_moe(cfg, fq_cfg, mode, lp, fqf, h2, stats=stats)
@@ -611,6 +641,8 @@ def ds_layer(cfg, fq_cfg, mode, lp, lfq, x, cos, sin, mask, moe: bool,
         out = x + _ffn_dense(cfg, fq_cfg, mode, lp, fqf, h2, stats=stats)
     if with_stats:
         return out, stats
+    if cache is not None:
+        return out, cache
     return out
 
 
@@ -828,3 +860,84 @@ def calibrate_deepseek(cfg: DeepSeekConfig, fq_cfg, params, dense_fq, moe_fq,
         epochs=epochs,
     )
     return dense_fq, moe_fq
+
+
+# ---------------------------------------------------------------------------
+# generation (MLA latent caches; main_dpskv3.py:46-82 generate analog)
+# ---------------------------------------------------------------------------
+
+
+def init_ds_cache(cfg: DeepSeekConfig, batch: int, max_len: int, dtype=jnp.bfloat16):
+    mk = lambda n, d: jnp.zeros((n, batch, max_len, d), dtype)
+    return {
+        "dense_kv": mk(cfg.n_dense_layers, cfg.kv_lora_rank),
+        "dense_pe": mk(cfg.n_dense_layers, cfg.qk_rope_head_dim),
+        "moe_kv": mk(cfg.n_moe_layers, cfg.kv_lora_rank),
+        "moe_pe": mk(cfg.n_moe_layers, cfg.qk_rope_head_dim),
+    }
+
+
+def _ds_step(cfg, fq_cfg, mode, params, fq, tokens, cache, pos, max_len, compute_dtype):
+    B, S = tokens.shape
+    x = params["embed"][tokens].astype(compute_dtype)
+    cos_full, sin_full = ds_rope_tables(cfg, max_len)
+    cos = jax.lax.dynamic_slice_in_dim(cos_full, pos, S, axis=0)
+    sin = jax.lax.dynamic_slice_in_dim(sin_full, pos, S, axis=0)
+    dense_fq, moe_fq = fq if fq is not None else (None, None)
+
+    def mk_body(moe):
+        def body(carry, xs):
+            x = carry
+            lp, lfq, ckv, cpe = xs
+            x, (ckv, cpe) = ds_layer(
+                cfg, fq_cfg, mode, lp, lfq, x, cos, sin, None, moe=moe,
+                cache=(ckv, cpe), pos=pos,
+            )
+            return x, (ckv, cpe)
+
+        return body
+
+    x, (dkv, dpe) = jax.lax.scan(
+        mk_body(False), x,
+        (params["dense_layers"], dense_fq, cache["dense_kv"], cache["dense_pe"]),
+    )
+    x, (mkv, mpe) = jax.lax.scan(
+        mk_body(True), x,
+        (params["moe_layers"], moe_fq, cache["moe_kv"], cache["moe_pe"]),
+    )
+    x = rms_norm(x[:, -1:], params["final_norm"], cfg.rms_eps)
+    logits = jnp.matmul(x[:, 0], params["head"].T.astype(x.dtype))
+    return logits.astype(jnp.float32), {
+        "dense_kv": dkv, "dense_pe": dpe, "moe_kv": mkv, "moe_pe": mpe
+    }
+
+
+def deepseek_generate(
+    cfg: DeepSeekConfig,
+    params,
+    fq,
+    fq_cfg,
+    prompt: np.ndarray,
+    max_new_tokens: int = 16,
+    max_len: int = 128,
+    mode: str = "calib",
+    compute_dtype=jnp.bfloat16,
+):
+    """Greedy generation over the absorbed MLA caches."""
+    from functools import partial
+
+    B, S = prompt.shape
+    cache = init_ds_cache(cfg, B, max_len, dtype=compute_dtype)
+
+    step = jax.jit(partial(_ds_step, cfg, fq_cfg, mode, max_len=max_len,
+                           compute_dtype=compute_dtype))
+    logits, cache = step(params, fq, jnp.asarray(prompt), cache, 0)
+    out = []
+    tok = jnp.argmax(logits, -1)[:, None].astype(jnp.int32)
+    pos = S
+    for _ in range(max_new_tokens):
+        out.append(np.asarray(tok))
+        logits, cache = step(params, fq, tok, cache, jnp.int32(pos))
+        tok = jnp.argmax(logits, -1)[:, None].astype(jnp.int32)
+        pos += 1
+    return np.concatenate(out, axis=1)

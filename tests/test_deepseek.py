@@ -128,3 +128,26 @@ def test_calibrate_deepseek_runs(tiny_ds):
     # transforms moved
     delta = float(jnp.abs(m2.attn.qkv_trans.left.u - moe_fq.attn.qkv_trans.left.u).max())
     assert delta > 1e-7
+
+
+def test_ds_generate_cache_consistency(tiny_ds):
+    """Cached MLA decode must reproduce full-sequence forward argmaxes."""
+    from flatquant_tpu.models.deepseek import bake_ds_fq, deepseek_generate
+
+    cfg, params, _ = tiny_ds
+    params = dict(params)
+    params["head"] = params["head"] * 6.0
+    fq = bake_ds_fq(*__import__("flatquant_tpu.models.deepseek", fromlist=["x"]).init_ds_fq(cfg, W4A4, seed=0))
+    prompt = np.random.default_rng(2).integers(0, cfg.vocab_size, (1, 5)).astype(np.int32)
+    out = deepseek_generate(cfg, params, fq, W4A4, prompt, max_new_tokens=3,
+                            max_len=32, compute_dtype=jnp.float32)
+
+    # reference: grow the sequence with full-seq forwards
+    seq = prompt.copy()
+    for i in range(3):
+        logits = deepseek_forward(cfg, params, jnp.asarray(seq), fq=fq,
+                                  fq_cfg=W4A4, mode="calib",
+                                  compute_dtype=jnp.float32)
+        nxt = np.asarray(jnp.argmax(logits[:, -1], -1))[:, None].astype(np.int32)
+        assert int(nxt[0, 0]) == int(out[0, i]), f"step {i}"
+        seq = np.concatenate([seq, nxt], axis=1)
