@@ -75,6 +75,11 @@ def _try_hf_text(name: str, split: str) -> Optional[str]:
         if name == "ptb":
             ds = load_dataset("ptb_text_only", "penn_treebank", split=split)
             return " ".join(ds["sentence"])
+        if name == "pile":
+            ds = load_dataset(
+                "mit-han-lab/pile-val-backup", split="validation"
+            )
+            return " ".join(ds["text"][:2000])
     except Exception:
         return None
     return None
@@ -91,7 +96,7 @@ def get_loaders(
 ) -> CalibData:
     """Return calibration crops + eval stream.
 
-    name in {wikitext2, c4, ptb, synthetic}. Real datasets require a
+    name in {wikitext2, c4, ptb, pile, synthetic}. Real datasets require a
     tokenizer + network/cache; otherwise falls back to `synthetic`.
     """
     if name != "synthetic" and tokenizer is not None:

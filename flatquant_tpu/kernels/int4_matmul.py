@@ -24,6 +24,16 @@ quant.cu:13-101). TPU-native design:
 
 Why this wins: decode is HBM-bandwidth-bound; weight traffic drops 4x vs
 bf16 weights while MXU throughput is unchanged, so prefill never loses.
+
+PROFILING NOTE (round 1): on the throttled bench chip the VPU unpack chain
+(u8 -> i32 convert, and/shift, i32 -> bf16 convert) limits the kernel to
+~1.15x over bf16 decode instead of the bandwidth-implied ~3x. A promising
+fix is the mantissa bit-trick — OR each nibble into the bf16 bit pattern of
+(128 + nib) (0x4300 | nib) and fold the resulting affine offset into the
+epilogue row-sums, eliminating both int->float converts — but
+pltpu.bitcast does not expand the minor dim on 32->16-bit reinterprets in
+this jax version, so the pattern needs a Mosaic-layout-aware formulation.
+Left as the top perf lead for the next round.
 """
 
 from __future__ import annotations

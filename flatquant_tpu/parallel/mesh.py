@@ -41,8 +41,13 @@ def make_mesh(axes: Dict[str, int], devices=None) -> Mesh:
     return Mesh(dev_array, names)
 
 
-def llama_param_specs(cfg: LlamaConfig, params: dict) -> dict:
-    """PartitionSpec tree for the fp model params (stacked [L, ...])."""
+def llama_param_specs(cfg: LlamaConfig, params: dict,
+                      shard_vocab: bool = False) -> dict:
+    """PartitionSpec tree for the fp model params (stacked [L, ...]).
+
+    shard_vocab=True also vocab-shards the embedding table (the reference's
+    ParallelEmbedding, deepseek_v3/model.py:87-126 — GSPMD turns the gather
+    into the masked-lookup + psum the reference hand-codes)."""
     layer_specs = {
         "ln1_w": P(None, None),
         "ln2_w": P(None, None),
@@ -60,7 +65,7 @@ def llama_param_specs(cfg: LlamaConfig, params: dict) -> dict:
         if bkey in params["layers"]:
             layer_specs[bkey] = P(None, "tp")
     specs = {
-        "embed": P(None, None),
+        "embed": P("tp", None) if shard_vocab else P(None, None),
         "final_norm_w": P(None),
         "layers": layer_specs,
     }

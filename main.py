@@ -57,7 +57,7 @@ def parser_gen():
     p.add_argument("--warmup", action="store_true")
     p.add_argument("--deactive_amp", action="store_true")
     p.add_argument("--cali_dataset", default="synthetic",
-                   choices=["wikitext2", "c4", "ptb", "synthetic"])
+                   choices=["wikitext2", "c4", "ptb", "pile", "synthetic"])
     p.add_argument("--seqlen", type=int, default=None)
     # weight quant pass
     p.add_argument("--gptq", action="store_true", help="GPTQ instead of RTN")
