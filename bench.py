@@ -33,8 +33,8 @@ from flatquant_tpu.models.llama import init_params
 from flatquant_tpu.quantize.bake import bake_model
 from flatquant_tpu.quantize.spec import W4A4KV4
 from flatquant_tpu.quantize.state import init_model_fq
-from flatquant_tpu.serving.baseline import bf16_decode_step, build_bf16_params
-from flatquant_tpu.serving.engine import init_cache, serving_decode_step
+from flatquant_tpu.serving.baseline import bf16_decode_step, bf16_prefill, build_bf16_params
+from flatquant_tpu.serving.engine import init_cache, serving_decode_step, serving_prefill
 from flatquant_tpu.serving.quantized import build_serving_params
 
 # llama-2-7b layer dims at trimmed depth: the layer loop is a lax.scan, so
@@ -123,6 +123,38 @@ def main():
         float(bf16_loop(bp, tok, cache_b, pos))
         tb.append((time.perf_counter() - t0) / N_STEPS)
 
+    # prefill comparison (single chained pair; int8 MXU == bf16 MXU on this
+    # part, so expect ~parity — reported for completeness vs the reference's
+    # compute-bound prefill wins on tensor-core GPUs)
+    S_PRE = 256
+    ptoks = jnp.zeros((BATCH, S_PRE), jnp.int32)
+
+    @jax.jit
+    def quant_prefill_loop(sp, ptoks, cache):
+        def body(i, acc):
+            logits, _ = serving_prefill.__wrapped__(
+                cfg, fq_cfg, sp, ptoks, cache, True, MAX_LEN, jnp.bfloat16)
+            return acc + jnp.sum(logits)
+        return jax.lax.fori_loop(0, 4, body, 0.0)
+
+    @jax.jit
+    def bf16_prefill_loop(bp, ptoks, cache):
+        def body(i, acc):
+            logits, _ = bf16_prefill.__wrapped__(cfg, bp, ptoks, cache, MAX_LEN)
+            return acc + jnp.sum(logits)
+        return jax.lax.fori_loop(0, 4, body, 0.0)
+
+    cache_pq = init_cache(cfg, BATCH, MAX_LEN)
+    cache_pb = init_cache(cfg, BATCH, MAX_LEN)
+    float(quant_prefill_loop(sp, ptoks, cache_pq))
+    float(bf16_prefill_loop(bp, ptoks, cache_pb))
+    tpq = tpb = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter(); float(quant_prefill_loop(sp, ptoks, cache_pq))
+        tpq = min(tpq, (time.perf_counter() - t0) / 4)
+        t0 = time.perf_counter(); float(bf16_prefill_loop(bp, ptoks, cache_pb))
+        tpb = min(tpb, (time.perf_counter() - t0) / 4)
+
     t_quant = min(tq)
     t_bf16 = min(tb)
     speedup = t_bf16 / t_quant
@@ -140,6 +172,9 @@ def main():
                     "steps": N_STEPS,
                     "tok_s_quant": round(BATCH / t_quant, 1),
                     "tok_s_bf16": round(BATCH / t_bf16, 1),
+                    "prefill256_quant_ms": round(tpq * 1e3, 3),
+                    "prefill256_bf16_ms": round(tpb * 1e3, 3),
+                    "prefill_speedup": round(tpb / tpq, 4),
                 },
             }
         )
