@@ -246,9 +246,16 @@ def serving_layer_int4cache(
     h = rms_norm(x, sl["ln1_w"], cfg.rms_eps)
     if "ln_t" in sl:
         h = kron_transform(h, sl["ln_t"])
-    q = qlin(h, sl["q"], sl.get("bq")).reshape(B, S, nh, hd)
-    k = qlin(h, sl["k"], sl.get("bk")).reshape(B, S, nkv, hd)
-    v = qlin(h, sl["v"], sl.get("bv")).reshape(B, S, nkv, hd)
+    if "qkv" in sl:
+        qkv = qlin(h, sl["qkv"], sl.get("bqkv"))
+        q, k, v = jnp.split(qkv, [cfg.q_dim, cfg.q_dim + cfg.kv_dim], axis=-1)
+    else:
+        q = qlin(h, sl["q"], sl.get("bq"))
+        k = qlin(h, sl["k"], sl.get("bk"))
+        v = qlin(h, sl["v"], sl.get("bv"))
+    q = q.reshape(B, S, nh, hd)
+    k = k.reshape(B, S, nkv, hd)
+    v = v.reshape(B, S, nkv, hd)
 
     from flatquant_tpu.models.llama import apply_rope
 
@@ -308,8 +315,12 @@ def serving_layer_int4cache(
     h2 = rms_norm(x, sl["ln2_w"], cfg.rms_eps)
     if "ug_t" in sl:
         h2 = kron_transform(h2, sl["ug_t"])
-    up = qlin(h2, sl["up"])
-    gate = qlin(h2, sl["gate"])
+    if "upgate" in sl:
+        ug = qlin(h2, sl["upgate"])
+        up, gate = jnp.split(ug, 2, axis=-1)
+    else:
+        up = qlin(h2, sl["up"])
+        gate = qlin(h2, sl["gate"])
     act = jax.nn.silu(gate) * up
     if "down_t" in sl:
         act = kron_transform(act, sl["down_t"])
