@@ -396,6 +396,18 @@ def init_ds_fq(cfg: DeepSeekConfig, fq: FQConfig, seed: int = 0):
 
 
 def _linear(mode, quant, fq_cfg, x, w, b, st, qa=None, lwc=False):
+    if isinstance(w, dict):
+        # packed real-quant weight ({"wp", "scale", optional "a_clip"}):
+        # transform+clip already baked in at build_ds_serving_params time,
+        # so qa is ignored; per-token act quant + W4A8 matmul
+        import jax as _jax
+
+        from flatquant_tpu.serving.quantized import _quant_linear
+
+        use_kernel = _jax.default_backend() == "tpu"
+        y = _quant_linear(x.reshape(-1, x.shape[-1]), w, use_kernel, x.dtype)
+        y = y.reshape(x.shape[:-1] + (w["scale"].shape[0],))
+        return y + b.astype(y.dtype) if b is not None else y
     if not quant:
         y = jnp.matmul(x, w.T.astype(x.dtype))
         return y + b.astype(y.dtype) if b is not None else y
@@ -552,6 +564,18 @@ def _expert_linear(mode, quant, fq_cfg, x_e, w_e, st_e, qa=None):
     The per-expert LWC clips live in st_e (stacked [E, ...]); act clips are
     shared (broadcast). vmap over the expert axis reuses the scalar path.
     """
+    if isinstance(w_e, dict):
+        from flatquant_tpu.serving.quantized import _quant_linear
+
+        shared_clip = w_e.get("a_clip")
+
+        def one_packed(x1, wp1, sc1):
+            lin = {"wp": wp1, "scale": sc1}
+            if shared_clip is not None:
+                lin["a_clip"] = shared_clip
+            return _quant_linear(x1, lin, False, x1.dtype)
+
+        return jax.vmap(one_packed)(x_e, w_e["wp"], w_e["scale"])
     if not quant:
         return jnp.einsum("eti,eoi->eto", x_e, w_e.astype(x_e.dtype))
 
@@ -941,3 +965,97 @@ def deepseek_generate(
         tok = jnp.argmax(logits, -1)[:, None].astype(jnp.int32)
         pos += 1
     return np.concatenate(out, axis=1)
+
+
+# ---------------------------------------------------------------------------
+# real-quant serving conversion (packed int4 DS weights)
+# ---------------------------------------------------------------------------
+
+
+def build_ds_serving_params(cfg: DeepSeekConfig, fq_cfg: FQConfig, params: dict,
+                            dense_fq, moe_fq, dtype=jnp.bfloat16):
+    """Pack all quantized DS linears to planar int4 + scales with transforms
+    and LWC clips baked in; transforms stay in the (baked) fq state for the
+    activation side. wkv_b remains unquantized bf16 (deepseekv3_utils.py:171).
+
+    Returns (serving_params, baked_fq). Forward with mode="serve":
+    deepseek_forward(cfg, sp, toks, fq=baked_fq, fq_cfg=fq_cfg, mode="serve").
+    """
+    from flatquant_tpu.core.quant import weight_find_params, weight_quantize_int
+    from flatquant_tpu.kernels.int4_matmul import pack_weight_planar
+
+    baked_dense, baked_moe = bake_ds_fq(dense_fq, moe_fq)
+    w_cfg = fq_cfg.w_cfg
+    assert w_cfg.sym and w_cfg.group_size <= 0, "real-quant DS: sym per-channel"
+
+    def pack(w, st, qa=None, out=None):
+        wt = transform_weight(w, st, qa, out, fq_cfg.lwc)
+        scale, zero = weight_find_params(wt, w_cfg)
+        q = weight_quantize_int(wt, scale, zero, w_cfg)
+        d = {"wp": pack_weight_planar(q), "scale": scale[:, 0].astype(jnp.float32)}
+        if st is not None and st.clip_a_max is not None:
+            d["a_clip"] = (jax.nn.sigmoid(st.clip_a_max.astype(jnp.float32)),
+                           jax.nn.sigmoid(st.clip_a_min.astype(jnp.float32)))
+        return d
+
+    def conv_attn(lp, a: MLAFQ):
+        out = dict(lp)
+        if "wq_a" in lp:
+            out["wq_a"] = pack(lp["wq_a"], a.wq_a_lin, qa=a.qkv_trans)
+            out["wq_b"] = pack(lp["wq_b"], a.wq_b_lin, qa=a.wqb_trans)
+        else:
+            out["wq"] = pack(lp["wq"], a.wq_a_lin, qa=a.qkv_trans)
+        out["wkv_a"] = pack(lp["wkv_a"], a.wkv_a_lin, qa=a.qkv_trans)
+        out["wo"] = pack(lp["wo"], a.wo_lin, qa=a.wo_trans)
+        out["wkv_b"] = lp["wkv_b"].astype(dtype)
+        return out
+
+    def conv_dense(lp, lfq: DSDenseLayerFQ):
+        out = conv_attn(lp, lfq.attn)
+        f = lfq.ffn
+        out["w1"] = pack(lp["w1"], f.w1_lin, qa=f.up_gate_trans)
+        out["w3"] = pack(lp["w3"], f.w3_lin, qa=f.up_gate_trans)
+        out["w2"] = pack(lp["w2"], f.w2_lin, qa=f.down_trans)
+        return out
+
+    def conv_moe(lp, lfq: DSMoELayerFQ):
+        out = conv_attn(lp, lfq.attn)
+        f = lfq.ffn
+        out["s_w1"] = pack(lp["s_w1"], f.s_w1_lin, qa=f.w1_trans)
+        out["s_w3"] = pack(lp["s_w3"], f.s_w3_lin, qa=f.w1_trans)
+        out["s_w2"] = pack(lp["s_w2"], f.s_w2_lin, qa=f.w2_trans)
+
+        def pack_expert(w, cwmax, cwmin, qa):
+            st = LinearQuantState(clip_w_max=cwmax, clip_w_min=cwmin,
+                                  clip_a_max=None, clip_a_min=None)
+            wt = transform_weight(w, st, qa, None, fq_cfg.lwc)
+            scale, zero = weight_find_params(wt, w_cfg)
+            q = weight_quantize_int(wt, scale, zero, w_cfg)
+            return pack_weight_planar(q), scale[:, 0].astype(jnp.float32)
+
+        for key, lin, qa in (("e_w1", f.e_w1_lin, f.w1_trans),
+                             ("e_w3", f.e_w3_lin, f.w1_trans),
+                             ("e_w2", f.e_w2_lin, f.routed_w2_trans)):
+            cmax = lin.clip_w_max if lin.clip_w_max is not None else None
+            if cmax is not None:
+                wp, sc = jax.vmap(lambda w, a, b: pack_expert(w, a, b, qa))(
+                    lp[key], lin.clip_w_max, lin.clip_w_min)
+            else:
+                wp, sc = jax.vmap(lambda w: pack_expert(w, None, None, qa))(lp[key])
+            d = {"wp": wp, "scale": sc}
+            if lin.clip_a_max is not None:
+                d["a_clip"] = (jax.nn.sigmoid(lin.clip_a_max.astype(jnp.float32)),
+                               jax.nn.sigmoid(lin.clip_a_min.astype(jnp.float32)))
+            out[key] = d
+        return out
+
+    dense_layers = jax.vmap(conv_dense)(params["dense_layers"], baked_dense)
+    moe_layers = jax.vmap(conv_moe)(params["moe_layers"], baked_moe)
+    sp = {
+        "embed": params["embed"].astype(dtype),
+        "final_norm": params["final_norm"].astype(jnp.float32),
+        "head": params["head"].astype(dtype),
+        "dense_layers": dense_layers,
+        "moe_layers": moe_layers,
+    }
+    return sp, (baked_dense, baked_moe)

@@ -151,3 +151,28 @@ def test_ds_generate_cache_consistency(tiny_ds):
         nxt = np.asarray(jnp.argmax(logits[:, -1], -1))[:, None].astype(np.int32)
         assert int(nxt[0, 0]) == int(out[0, i]), f"step {i}"
         seq = np.concatenate([seq, nxt], axis=1)
+
+
+def test_ds_real_quant_serving_parity(tiny_ds):
+    """Packed-int4 DS serving == fake-quant forward exactly at fp32."""
+    from flatquant_tpu.models.deepseek import (
+        build_ds_serving_params,
+        deepseek_generate,
+    )
+
+    cfg, params, toks = tiny_ds
+    dfq, mfq = init_ds_fq(cfg, W4A4, seed=0)
+    baked = bake_ds_fq(dfq, mfq)
+    lc = deepseek_forward(cfg, params, toks, fq=baked, fq_cfg=W4A4,
+                          mode="calib", compute_dtype=jnp.float32)
+    sp, baked2 = build_ds_serving_params(cfg, W4A4, params, dfq, mfq,
+                                         dtype=jnp.float32)
+    ls = deepseek_forward(cfg, sp, toks, fq=baked2, fq_cfg=W4A4,
+                          mode="serve", compute_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(ls), np.asarray(lc), atol=1e-5)
+
+    # generation through the packed path
+    prompt = np.asarray(toks[:1, :6])
+    out = deepseek_generate(cfg, sp, baked2, W4A4, prompt, max_new_tokens=3,
+                            max_len=32, mode="serve", compute_dtype=jnp.float32)
+    assert out.shape == (1, 3)
