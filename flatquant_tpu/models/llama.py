@@ -23,7 +23,6 @@ Weight layout is [out_features, in_features]; matmuls are x @ W^T.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Optional
 
 import jax
@@ -34,7 +33,7 @@ from flatquant_tpu.core.transforms import apply_decompose, apply_single, single_
 from flatquant_tpu.models.config import LlamaConfig
 from flatquant_tpu.quantize.linear import fq_linear_eval, fq_linear_train
 from flatquant_tpu.quantize.spec import FQConfig
-from flatquant_tpu.quantize.state import AttnFQ, LayerFQ, MlpFQ
+from flatquant_tpu.quantize.state import LayerFQ
 
 MODES = ("fp", "calib", "eval")
 

@@ -19,7 +19,7 @@ lm_head vocab-sharded with gathered logits.
 
 from __future__ import annotations
 
-from typing import Dict, Optional
+from typing import Dict
 
 import numpy as np
 

@@ -17,7 +17,7 @@ weight quantization so the quantizer sees the folded weights):
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -8,8 +8,6 @@ baking and serving. Field semantics track the reference CLI flags
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
-
 from flatquant_tpu.core.quant import ActQuantCfg, WeightQuantCfg
 
 

@@ -21,9 +21,7 @@ function with `lax.scan` over layers; cache updates are functional
 
 from __future__ import annotations
 
-import dataclasses
 from functools import partial
-from typing import Optional, Tuple
 
 import numpy as np
 
