@@ -333,6 +333,10 @@ def _forward(cfg, fq_cfg, sp, tokens, cache, pos, phase, use_kernel, max_len,
     cos, sin = _rope_slice(cfg, max_len)
 
     if "kp" in cache:  # packed int4 cache mode
+        assert fq_cfg.k_cfg.enabled and fq_cfg.v_cfg.enabled, (
+            "int4 cache mode requires k_bits/v_bits < 16 (the packed cache "
+            "always quantizes); use the bf16 cache for kv16 configs"
+        )
         def body4(carry, xs):
             x = carry
             sl, kp, kparam, vp, vparam = xs

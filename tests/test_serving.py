@@ -112,3 +112,58 @@ def test_qwen_serving_bias():
     prompt = np.random.default_rng(0).integers(0, cfg.vocab_size, (1, 4)).astype(np.int32)
     out = generate(cfg, fq_cfg, sp, prompt, max_new_tokens=3, max_len=8, use_kernel=False)
     assert out.shape == (1, 3)
+
+
+def test_int4_cache_mode_matches_bf16_cache():
+    """Packed int4 cache mode == dequantized-store mode (KV4 config)."""
+    from flatquant_tpu.models.llama import init_params as _init
+    from flatquant_tpu.quantize.bake import bake_model as _bake
+    from flatquant_tpu.quantize.state import init_model_fq as _initfq
+
+    cfg = get_config("tiny-llama")
+    fq_cfg = W4A4KV4
+    params = _init(cfg, seed=0)
+    params["lm_head"] = params["lm_head"] * 6.0
+    fq = _initfq(cfg, fq_cfg, seed=0)
+    baked, bfq = _bake(cfg, fq_cfg, params, fq)
+    sp = build_serving_params(cfg, fq_cfg, baked, bfq, dtype=jnp.float32)
+    toks = np.random.default_rng(3).integers(0, cfg.vocab_size, (2, 8)).astype(np.int32)
+    c1 = init_cache(cfg, 2, 16, dtype=jnp.float32)
+    l1, c1 = serving_prefill(cfg, fq_cfg, sp, jnp.asarray(toks), c1,
+                             use_kernel=False, max_len=16, compute_dtype=jnp.float32)
+    c2 = init_cache(cfg, 2, 16, mode="int4")
+    l2, c2 = serving_prefill(cfg, fq_cfg, sp, jnp.asarray(toks), c2,
+                             use_kernel=False, max_len=16, compute_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), atol=1e-5)
+    nxt = jnp.argmax(l2, -1)[:, None].astype(jnp.int32)
+    for i in range(3):
+        l1, c1 = serving_decode_step(cfg, fq_cfg, sp, nxt, c1, jnp.int32(8 + i),
+                                     use_kernel=False, max_len=16,
+                                     compute_dtype=jnp.float32)
+        l2, c2 = serving_decode_step(cfg, fq_cfg, sp, nxt, c2, jnp.int32(8 + i),
+                                     use_kernel=False, max_len=16,
+                                     compute_dtype=jnp.float32)
+        np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), atol=1e-4)
+        nxt = jnp.argmax(l2, -1)[:, None].astype(jnp.int32)
+
+
+def test_merged_projections_match_unmerged(served):
+    cfg, fq_cfg, sp, _, _ = served
+    from flatquant_tpu.models.llama import init_params
+    from flatquant_tpu.quantize.bake import bake_model
+    from flatquant_tpu.quantize.state import init_model_fq
+
+    params = init_params(cfg, seed=0)
+    params["lm_head"] = params["lm_head"] * 6.0
+    fq = init_model_fq(cfg, fq_cfg, seed=0)
+    baked, bfq = bake_model(cfg, fq_cfg, params, fq)
+    sp_m = build_serving_params(cfg, fq_cfg, baked, bfq, dtype=jnp.float32,
+                                merge_projections=True)
+    toks = np.random.default_rng(4).integers(0, cfg.vocab_size, (1, 10)).astype(np.int32)
+    lm, _ = serving_prefill(cfg, fq_cfg, sp_m, jnp.asarray(toks),
+                            init_cache(cfg, 1, 16, dtype=jnp.float32),
+                            use_kernel=False, max_len=16, compute_dtype=jnp.float32)
+    lu, _ = serving_prefill(cfg, fq_cfg, sp, jnp.asarray(toks),
+                            init_cache(cfg, 1, 16, dtype=jnp.float32),
+                            use_kernel=False, max_len=16, compute_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(lm), np.asarray(lu), atol=1e-5)
