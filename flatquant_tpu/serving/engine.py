@@ -387,6 +387,14 @@ def serving_decode_step(cfg, fq_cfg, sp, token, cache, pos, use_kernel=True,
                     max_len, compute_dtype)
 
 
+def sample_token(logits, temperature: float = 0.0, key=None):
+    """Greedy (temperature 0) or temperature sampling (generate loop,
+    main_dpskv3.py:26-43 analog)."""
+    if temperature <= 0.0 or key is None:
+        return jnp.argmax(logits, axis=-1)[:, None].astype(jnp.int32)
+    return jax.random.categorical(key, logits / temperature, axis=-1)[:, None].astype(jnp.int32)
+
+
 def generate(
     cfg: LlamaConfig,
     fq_cfg: FQConfig,
@@ -395,21 +403,26 @@ def generate(
     max_new_tokens: int = 32,
     max_len: int = 2048,
     use_kernel: bool = True,
+    temperature: float = 0.0,
+    seed: int = 0,
 ):
-    """Greedy generation (host loop over jitted steps)."""
+    """Generation (host loop over jitted steps); temperature 0 = greedy."""
     B, S = prompt.shape
     cache = init_cache(cfg, B, max_len)
     logits, cache = serving_prefill(
         cfg, fq_cfg, sp, jnp.asarray(prompt), cache, use_kernel=use_kernel, max_len=max_len
     )
+    key = jax.random.PRNGKey(seed)
     out = []
-    tok = jnp.argmax(logits, axis=-1)[:, None].astype(jnp.int32)
+    key, sub = jax.random.split(key)
+    tok = sample_token(logits, temperature, sub)
     pos = S
     for _ in range(max_new_tokens):
         out.append(np.asarray(tok))
         logits, cache = serving_decode_step(
             cfg, fq_cfg, sp, tok, cache, jnp.int32(pos), use_kernel=use_kernel, max_len=max_len
         )
-        tok = jnp.argmax(logits, axis=-1)[:, None].astype(jnp.int32)
+        key, sub = jax.random.split(key)
+        tok = sample_token(logits, temperature, sub)
         pos += 1
     return np.concatenate(out, axis=1)
