@@ -53,11 +53,14 @@ MAX_LEN = 512
 START_POS = 64
 
 
+USE_KERNEL = jax.default_backend() == "tpu"  # pallas needs the TPU backend
+
+
 def _decode_loop_quant(cfg, fq_cfg, sp, tok, cache, pos, n_steps, max_len):
     def body(i, carry):
         tok, cache, acc = carry
         logits, cache = serving_decode_step.__wrapped__(
-            cfg, fq_cfg, sp, tok, cache, pos + i, True, max_len, jnp.bfloat16
+            cfg, fq_cfg, sp, tok, cache, pos + i, USE_KERNEL, max_len, jnp.bfloat16
         )
         nxt = jnp.argmax(logits, -1)[:, None].astype(jnp.int32)
         return nxt, cache, acc + jnp.sum(logits)
@@ -133,7 +136,7 @@ def main():
     def quant_prefill_loop(sp, ptoks, cache):
         def body(i, acc):
             logits, _ = serving_prefill.__wrapped__(
-                cfg, fq_cfg, sp, ptoks, cache, True, MAX_LEN, jnp.bfloat16)
+                cfg, fq_cfg, sp, ptoks, cache, USE_KERNEL, MAX_LEN, jnp.bfloat16)
             return acc + jnp.sum(logits)
         return jax.lax.fori_loop(0, 4, body, 0.0)
 
