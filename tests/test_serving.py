@@ -167,3 +167,33 @@ def test_merged_projections_match_unmerged(served):
                             init_cache(cfg, 1, 16, dtype=jnp.float32),
                             use_kernel=False, max_len=16, compute_dtype=jnp.float32)
     np.testing.assert_allclose(np.asarray(lm), np.asarray(lu), atol=1e-5)
+
+
+def test_rope_scaled_config_serving():
+    """Llama-3.1-style rope scaling flows through the serving engine."""
+    import dataclasses as _dc
+
+    from flatquant_tpu.models.config import RopeScaling
+    from flatquant_tpu.models.llama import init_params as _init
+    from flatquant_tpu.quantize.bake import bake_model as _bake
+    from flatquant_tpu.quantize.state import init_model_fq as _initfq
+    from flatquant_tpu.serving.engine import generate
+
+    base = get_config("tiny-llama")
+    cfg = _dc.replace(base, name="tiny-31",
+                      rope_scaling=RopeScaling(factor=4.0,
+                                               original_max_position_embeddings=8))
+    params = _init(cfg, seed=0)
+    fq = _initfq(cfg, W4A4, seed=0)
+    baked, bfq = _bake(cfg, W4A4, params, fq)
+    sp = build_serving_params(cfg, W4A4, baked, bfq, dtype=jnp.float32)
+    prompt = np.random.default_rng(0).integers(0, cfg.vocab_size, (1, 12)).astype(np.int32)
+    out = generate(cfg, W4A4, sp, prompt, max_new_tokens=3, max_len=24,
+                   use_kernel=False)
+    assert out.shape == (1, 3)
+    # scaled rope actually differs from unscaled at the same positions
+    from flatquant_tpu.models.llama import rope_tables
+
+    c1, _ = rope_tables(cfg, jnp.arange(16))
+    c0, _ = rope_tables(base, jnp.arange(16))
+    assert float(jnp.max(jnp.abs(c1 - c0))) > 1e-4
