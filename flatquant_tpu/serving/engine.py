@@ -333,6 +333,11 @@ def _forward(cfg, fq_cfg, sp, tokens, cache, pos, phase, use_kernel, max_len,
     cos, sin = _rope_slice(cfg, max_len)
 
     if "kp" in cache:  # packed int4 cache mode
+        assert getattr(pos, "ndim", 0) == 0, (
+            "int4 cache mode currently supports scalar positions only; "
+            "the continuous batcher (per-slot position vectors) uses the "
+            "bf16 cache mode"
+        )
         assert fq_cfg.k_cfg.enabled and fq_cfg.v_cfg.enabled, (
             "int4 cache mode requires k_bits/v_bits < 16 (the packed cache "
             "always quantizes); use the bf16 cache for kv16 configs"
