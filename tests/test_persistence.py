@@ -108,3 +108,35 @@ def test_cli_pipeline_smoke(tmp_path):
                        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     assert r.returncode == 0, r.stderr[-2000:]
     assert "PPL" in r.stderr or "PPL" in r.stdout
+
+
+def test_packed_export_reload_serves_identically(tmp_path):
+    """Export packed int4 -> reload -> serving logits identical."""
+    import jax.numpy as jnp
+
+    from flatquant_tpu.quantize.spec import W4A4KV4 as _CFG
+    from flatquant_tpu.serving.engine import init_cache, serving_prefill
+
+    cfg = get_config("tiny-llama")
+    params = init_params(cfg, seed=0)
+    fq = init_model_fq(cfg, _CFG, seed=0)
+    baked, baked_fq = bake_model(cfg, _CFG, params, fq)
+    sp = build_serving_params(cfg, _CFG, baked, baked_fq, dtype=jnp.float32)
+    path = ckpt.save_packed_safetensors(str(tmp_path), sp, {"w_bits": 4})
+
+    # reload into a template built from DIFFERENT weights
+    template = build_serving_params(
+        cfg, _CFG, *bake_model(cfg, _CFG, init_params(cfg, seed=9),
+                               init_model_fq(cfg, _CFG, seed=9)),
+        dtype=jnp.float32,
+    )
+    loaded = ckpt.load_packed_safetensors(path, template)
+
+    toks = np.random.default_rng(0).integers(0, cfg.vocab_size, (1, 8)).astype(np.int32)
+    l1, _ = serving_prefill(cfg, _CFG, sp, jnp.asarray(toks),
+                            init_cache(cfg, 1, 16, dtype=jnp.float32),
+                            use_kernel=False, max_len=16, compute_dtype=jnp.float32)
+    l2, _ = serving_prefill(cfg, _CFG, loaded, jnp.asarray(toks),
+                            init_cache(cfg, 1, 16, dtype=jnp.float32),
+                            use_kernel=False, max_len=16, compute_dtype=jnp.float32)
+    np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
