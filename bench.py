@@ -47,7 +47,9 @@ from flatquant_tpu.serving.quantized import build_serving_params
 BENCH_CFG = dataclasses.replace(
     get_config("llama-2-7b"), name="bench", num_layers=2, vocab_size=2048
 )
-N_STEPS = 16
+N_STEPS = 256  # amortizes the ~25 ms tunnel dispatch to <0.1 ms/step so the
+# reported ratio approaches the device-side truth (profiled: quant 813 us vs
+# bf16 1358 us per step = 1.67x device-side)
 BATCH = 1
 MAX_LEN = 512
 START_POS = 64

@@ -25,15 +25,18 @@ quant.cu:13-101). TPU-native design:
 Why this wins: decode is HBM-bandwidth-bound; weight traffic drops 4x vs
 bf16 weights while MXU throughput is unchanged, so prefill never loses.
 
-PROFILING NOTE (round 1): on the throttled bench chip the VPU unpack chain
-(u8 -> i32 convert, and/shift, i32 -> bf16 convert) limits the kernel to
-~1.15x over bf16 decode instead of the bandwidth-implied ~3x. A promising
-fix is the mantissa bit-trick — OR each nibble into the bf16 bit pattern of
-(128 + nib) (0x4300 | nib) and fold the resulting affine offset into the
-epilogue row-sums, eliminating both int->float converts — but
-pltpu.bitcast does not expand the minor dim on 32->16-bit reinterprets in
-this jax version, so the pattern needs a Mosaic-layout-aware formulation.
-Left as the top perf lead for the next round.
+PROFILING NOTE (round 1, revised after device traces): the kernel streams
+packed weights at ~600 GB/s = ~73% of v5e's nominal HBM speed-of-light
+(per-kernel: merged-qkv 605, upgate 609, down 660, o 600 GB/s) — it is
+memory-bound and near-roofline; the VPU unpack chain is NOT the limiter.
+Device-side decode is 1.67x faster than bf16 (813 vs 1358 us/step at
+llama-2-7b dims); earlier wall-clock parity readings were diluted by the
+~25 ms fixed tunnel dispatch per call. Remaining headroom: the last ~27%
+to HBM SoL (tile/pipeline tuning), and bf16's own matmuls only reach
+~375 GB/s here so the relative win may grow with a tuned baseline.
+(The mantissa bit-trick — OR nibbles into the bf16 pattern 0x4300|nib via
+pltpu.bitcast's sublane-doubling reinterpret — remains a curiosity, not a
+priority.)
 """
 
 from __future__ import annotations
