@@ -86,6 +86,11 @@ class DeepSeekConfig:
     max_seq_len: int = 16384
     rms_eps: float = 1e-6
     seqlen: int = 4096  # calibration length (scripts/deepseek/*.sh)
+    # routed-expert execution: "dense" = masked all-experts einsum (exact,
+    # O(E) FLOPs — fine for tiny/calibration); "gather" = capacity-based
+    # dispatch (activated-only FLOPs, tokens beyond capacity drop)
+    moe_impl: str = "dense"
+    moe_capacity_factor: float = 2.0
 
     @property
     def qk_head_dim(self) -> int:
@@ -594,6 +599,91 @@ def _expert_linear(mode, quant, fq_cfg, x_e, w_e, st_e, qa=None):
     return jax.vmap(lambda x1, w1: run_one(x1, w1, None, None))(x_e, w_e)
 
 
+def moe_dispatch(flat_e, capacity: int, n_experts: int):
+    """Capacity-based token->expert dispatch bookkeeping.
+
+    flat_e: [N] expert id per (token, k) assignment. Returns
+    (rank [N] position within its expert, keep [N] bool under capacity).
+    Sort-based: stable-argsort expert ids, rank = offset from the first
+    occurrence of that expert in sorted order.
+    """
+    n = flat_e.shape[0]
+    perm = jnp.argsort(flat_e, stable=True)
+    sorted_e = flat_e[perm]
+    first_occurrence = jnp.searchsorted(sorted_e, sorted_e, side="left")
+    rank_sorted = jnp.arange(n) - first_occurrence
+    rank = jnp.zeros((n,), jnp.int32).at[perm].set(rank_sorted.astype(jnp.int32))
+    keep = rank < capacity
+    return rank, keep
+
+
+def _ffn_moe_gathered(cfg, fq_cfg, mode, lp, fqf: Optional[MoEFQ], x,
+                      capacity_factor: float = 2.0):
+    """Capacity-based gather MoE: compute only routed tokens per expert.
+
+    The production-scale alternative to the dense-masked path: tokens
+    scatter into an [E, C, D] buffer (C = ceil(T*K/E * capacity_factor)),
+    experts run batched over their C slots, outputs gather back weighted.
+    Tokens beyond capacity are dropped (standard capacity routing; the
+    dense path is drop-free and remains the exactness reference).
+    EP-shards over the expert axis like the dense path.
+    """
+    B, S, D = x.shape
+    quant = mode != "fp" and fqf is not None
+    x2d = x.reshape(-1, D)
+    T = x2d.shape[0]
+    E = cfg.n_routed_experts
+    K = cfg.n_activated_experts
+    C = max(1, int(np.ceil(T * K / E * capacity_factor)))
+
+    weights, indices = ds_gate(cfg, lp, x2d)
+
+    h = x2d
+    if quant and fqf.w1_trans is not None:
+        h = apply_decompose(fqf.w1_trans, h)
+    qa1 = fqf.w1_trans if (quant and mode == "calib") else None
+
+    flat_e = indices.reshape(-1)  # [T*K]
+    rank, keep = moe_dispatch(flat_e, C, E)
+    tok_idx = jnp.repeat(jnp.arange(T), K)
+    # scatter tokens into expert buffers; overflow goes to a spill slot C
+    slot = jnp.where(keep, rank, C)
+    buf = jnp.zeros((E, C + 1, h.shape[-1]), h.dtype)
+    buf = buf.at[flat_e, slot].set(h[tok_idx])
+    buf = buf[:, :C]
+
+    gate_e = _expert_linear(mode, quant, fq_cfg, buf, lp["e_w1"],
+                            fqf.e_w1_lin if quant else None, qa=qa1)
+    up_e = _expert_linear(mode, quant, fq_cfg, buf, lp["e_w3"],
+                          fqf.e_w3_lin if quant else None, qa=qa1)
+    act_e = jax.nn.silu(gate_e) * up_e
+    if quant and fqf.routed_w2_trans is not None:
+        act_e = apply_decompose(fqf.routed_w2_trans, act_e)
+    qa2 = fqf.routed_w2_trans if (quant and mode == "calib") else None
+    down_e = _expert_linear(mode, quant, fq_cfg, act_e, lp["e_w2"],
+                            fqf.e_w2_lin if quant else None, qa=qa2)  # [E, C, D]
+
+    # combine: gather each assignment's output, weight, sum over K
+    gathered = down_e[flat_e, jnp.clip(rank, 0, C - 1)]  # [T*K, D]
+    w_flat = jnp.where(keep, weights.reshape(-1), 0.0)
+    y = jnp.zeros((T, D), jnp.float32).at[tok_idx].add(
+        gathered.astype(jnp.float32) * w_flat[:, None]
+    ).astype(x.dtype)
+
+    # shared experts (identical to the dense path)
+    s_gate = _linear(mode, quant, fq_cfg, h, lp["s_w1"], None,
+                     fqf.s_w1_lin if quant else None, qa=qa1)
+    s_up = _linear(mode, quant, fq_cfg, h, lp["s_w3"], None,
+                   fqf.s_w3_lin if quant else None, qa=qa1)
+    s_act = jax.nn.silu(s_gate) * s_up
+    if quant and fqf.w2_trans is not None:
+        s_act = apply_decompose(fqf.w2_trans, s_act)
+    qa3 = fqf.w2_trans if (quant and mode == "calib") else None
+    z = _linear(mode, quant, fq_cfg, s_act, lp["s_w2"], None,
+                fqf.s_w2_lin if quant else None, qa=qa3)
+    return (y + z).reshape(B, S, D)
+
+
 def _ffn_moe(cfg, fq_cfg, mode, lp, fqf: Optional[MoEFQ], x, stats=None):
     """MoE FFN. Routed experts run as a dense batched einsum with routing
     masks (EP-shardable over the expert axis + psum)."""
@@ -660,7 +750,11 @@ def ds_layer(cfg, fq_cfg, mode, lp, lfq, x, cos, sin, mask, moe: bool,
     x = x + attn
     h2 = rms_norm(x, lp["ffn_norm"], cfg.rms_eps)
     if moe:
-        out = x + _ffn_moe(cfg, fq_cfg, mode, lp, fqf, h2, stats=stats)
+        if cfg.moe_impl == "gather" and stats is None:
+            out = x + _ffn_moe_gathered(cfg, fq_cfg, mode, lp, fqf, h2,
+                                        capacity_factor=cfg.moe_capacity_factor)
+        else:  # dense path also serves the stats capture (diag init)
+            out = x + _ffn_moe(cfg, fq_cfg, mode, lp, fqf, h2, stats=stats)
     else:
         out = x + _ffn_dense(cfg, fq_cfg, mode, lp, fqf, h2, stats=stats)
     if with_stats:

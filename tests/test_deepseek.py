@@ -176,3 +176,35 @@ def test_ds_real_quant_serving_parity(tiny_ds):
     out = deepseek_generate(cfg, sp, baked2, W4A4, prompt, max_new_tokens=3,
                             max_len=32, mode="serve", compute_dtype=jnp.float32)
     assert out.shape == (1, 3)
+
+
+def test_gather_moe_matches_dense(tiny_ds):
+    """Capacity-gather expert dispatch == dense-masked path (generous C)."""
+    import dataclasses as _dc
+
+    cfg, params, toks = tiny_ds
+    cfg_g = _dc.replace(cfg, moe_impl="gather", moe_capacity_factor=8.0)
+    fq = init_ds_fq(cfg, W4A4, seed=0)
+    ld = deepseek_forward(cfg, params, toks, fq=fq, fq_cfg=W4A4,
+                          mode="calib", compute_dtype=jnp.float32)
+    lg = deepseek_forward(cfg_g, params, toks, fq=fq, fq_cfg=W4A4,
+                          mode="calib", compute_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(lg), np.asarray(ld), atol=1e-5)
+
+
+def test_gather_moe_tight_capacity_drops_gracefully(tiny_ds):
+    import dataclasses as _dc
+
+    cfg, params, toks = tiny_ds
+    cfg_g = _dc.replace(cfg, moe_impl="gather", moe_capacity_factor=0.5)
+    lg = deepseek_forward(cfg_g, params, toks, compute_dtype=jnp.float32)
+    assert bool(jnp.isfinite(lg).all())
+
+
+def test_moe_dispatch_ranks():
+    from flatquant_tpu.models.deepseek import moe_dispatch
+
+    fe = jnp.asarray([2, 2, 1, 2, 0, 1], jnp.int32)
+    rank, keep = moe_dispatch(fe, capacity=2, n_experts=4)
+    assert rank.tolist() == [0, 1, 0, 2, 0, 1]
+    assert keep.tolist() == [True, True, True, False, True, True]
