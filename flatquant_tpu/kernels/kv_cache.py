@@ -19,6 +19,14 @@ softmax (m, l, acc) — the classic flash-decode recurrence.
 
 A pure-XLA reference implementation (used on CPU and as the correctness
 oracle) is provided by `decode_attention_ref`.
+
+Three kernel generations, kept for comparison (device-traced at
+llama-3-8b shapes, B=4/S=2048): v1 `decode_attention_int4` dequantizes
+K/V per element (185 us); `_wide` loops kv heads in-kernel (no gain —
+grid-step overhead is not the limiter); `_v3` folds scale/zero into the
+score/output epilogues so per-element work is only the nibble->float
+convert (119 us, 1.55x over v1; ~2.5x vs XLA bf16 attention). The engine
+uses v3.
 """
 
 from __future__ import annotations
@@ -200,4 +208,186 @@ def decode_attention_int4(q, kp, kparam, vp, vparam, valid_len,
         ),
         interpret=interpret,
     )(valid_len.astype(jnp.int32), qg, kp_t, kparam_t, vp_t, vparam_t)
+    return out.reshape(B, nh, hd)
+
+
+# ---------------------------------------------------------------------------
+# wide variant: one grid step per batch element (kv heads looped in-kernel)
+# ---------------------------------------------------------------------------
+
+
+def _decode_kernel_wide(valid_ref, q_ref, kp_ref, kparam_ref, vp_ref,
+                        vparam_ref, o_ref, *, sm_scale, block_s, hd, nkv):
+    b = pl.program_id(0)
+    valid = valid_ref[b]
+    S = kp_ref.shape[2]
+    n_rep = q_ref.shape[2]
+    n_blocks = S // block_s
+
+    def head_body(hidx, _):
+        q = q_ref[0, hidx].astype(jnp.float32)  # [n_rep, hd]
+
+        def body(si, carry):
+            m, l, acc = carry
+            start = si * block_s
+            kp = kp_ref[0, hidx, pl.ds(start, block_s), :].astype(jnp.int32)
+            kpar = kparam_ref[0, hidx, pl.ds(start, block_s), :]
+            kblk = jnp.concatenate(
+                [(kp & 0xF).astype(jnp.float32), (kp >> 4).astype(jnp.float32)],
+                axis=1,
+            )
+            kblk = (kblk - kpar[:, 1:2]) * kpar[:, 0:1]
+            sc = jax.lax.dot_general(
+                q, kblk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            ) * sm_scale
+            ids = jax.lax.broadcasted_iota(jnp.int32, (1, block_s), 1) + start
+            sc = jnp.where(ids < valid, sc, -jnp.inf)
+            m_new = jnp.maximum(m, jnp.max(sc, axis=1, keepdims=True))
+            p = jnp.exp(sc - m_new)
+            corr = jnp.exp(m - m_new)
+            l_new = l * corr + jnp.sum(p, axis=1, keepdims=True)
+            vp = vp_ref[0, hidx, pl.ds(start, block_s), :].astype(jnp.int32)
+            vpar = vparam_ref[0, hidx, pl.ds(start, block_s), :]
+            vblk = jnp.concatenate(
+                [(vp & 0xF).astype(jnp.float32), (vp >> 4).astype(jnp.float32)],
+                axis=1,
+            )
+            vblk = (vblk - vpar[:, 1:2]) * vpar[:, 0:1]
+            acc_new = acc * corr + jax.lax.dot_general(
+                p, vblk, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            )
+            return m_new, l_new, acc_new
+
+        m0 = jnp.full((n_rep, 1), -jnp.inf, jnp.float32)
+        l0 = jnp.zeros((n_rep, 1), jnp.float32)
+        acc0 = jnp.zeros((n_rep, hd), jnp.float32)
+        m, l, acc = jax.lax.fori_loop(0, n_blocks, body, (m0, l0, acc0))
+        o_ref[0, hidx] = (acc / l).astype(o_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, nkv, head_body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("sm_scale", "block_s", "interpret"))
+def decode_attention_int4_wide(q, kp, kparam, vp, vparam, valid_len,
+                               sm_scale: float, block_s: int = 512,
+                               interpret: bool = False):
+    """decode_attention_int4 with one grid step per batch element (kv heads
+    looped in-kernel) — fewer grid steps, same math."""
+    B, nkv, S, hdh = kp.shape
+    hd = hdh * 2
+    nh = q.shape[1]
+    n_rep = nh // nkv
+    bs = min(block_s, S)
+    qg = q.reshape(B, nkv, n_rep, hd)
+    out = pl.pallas_call(
+        functools.partial(_decode_kernel_wide, sm_scale=sm_scale, block_s=bs,
+                          hd=hd, nkv=nkv),
+        out_shape=jax.ShapeDtypeStruct((B, nkv, n_rep, hd), q.dtype),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(B,),
+            in_specs=[
+                pl.BlockSpec((1, nkv, n_rep, hd), lambda b, *_: (b, 0, 0, 0)),
+                pl.BlockSpec((1, nkv, S, hdh), lambda b, *_: (b, 0, 0, 0)),
+                pl.BlockSpec((1, nkv, S, 2), lambda b, *_: (b, 0, 0, 0)),
+                pl.BlockSpec((1, nkv, S, hdh), lambda b, *_: (b, 0, 0, 0)),
+                pl.BlockSpec((1, nkv, S, 2), lambda b, *_: (b, 0, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, nkv, n_rep, hd), lambda b, *_: (b, 0, 0, 0)),
+        ),
+        interpret=interpret,
+    )(valid_len.astype(jnp.int32), qg, kp, kparam, vp, vparam)
+    return out.reshape(B, nh, hd)
+
+
+# ---------------------------------------------------------------------------
+# v3: algebraic dequant — scale/zero fold into score/output epilogues, so
+# per-element VPU work is just the nibble->float convert (the same trick as
+# the W4A8 GEMM's biased-nibble epilogue):
+#   q.K^T = q.(s*(C - z))^T = (q.C^T - (sum_d q_d) z^T) * s^T
+#   P.V   = P.(s*(C - z))   = P'.C - (sum_t P'_t z_t),  P' = P * s
+# ---------------------------------------------------------------------------
+
+
+def _decode_kernel_v3(valid_ref, q_ref, kp_ref, kparam_ref, vp_ref,
+                      vparam_ref, o_ref, *, sm_scale, block_s, hd):
+    b = pl.program_id(0)
+    valid = valid_ref[b]
+    S = kp_ref.shape[2]
+    n_rep = q_ref.shape[2]
+    q = q_ref[0, 0].astype(jnp.float32)  # [n_rep, hd]
+    qsum = jnp.sum(q, axis=1, keepdims=True)  # [n_rep, 1]
+
+    def body(si, carry):
+        m, l, acc, zacc = carry
+        start = si * block_s
+        kp = kp_ref[0, 0, pl.ds(start, block_s), :].astype(jnp.int32)
+        kpar = kparam_ref[0, 0, pl.ds(start, block_s), :]
+        ksc = kpar[:, 0]  # [bs]
+        kzr = kpar[:, 1]
+        ck = jnp.concatenate(
+            [(kp & 0xF).astype(jnp.float32), (kp >> 4).astype(jnp.float32)], axis=1
+        )  # [bs, hd] raw codes
+        raw = jax.lax.dot_general(
+            q, ck, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # [n_rep, bs]
+        sc = (raw - qsum * kzr[None, :]) * ksc[None, :] * sm_scale
+        ids = jax.lax.broadcasted_iota(jnp.int32, (1, block_s), 1) + start
+        sc = jnp.where(ids < valid, sc, -jnp.inf)
+        m_new = jnp.maximum(m, jnp.max(sc, axis=1, keepdims=True))
+        p = jnp.exp(sc - m_new)
+        corr = jnp.exp(m - m_new)
+        l_new = l * corr + jnp.sum(p, axis=1, keepdims=True)
+
+        vp = vp_ref[0, 0, pl.ds(start, block_s), :].astype(jnp.int32)
+        vpar = vparam_ref[0, 0, pl.ds(start, block_s), :]
+        cv = jnp.concatenate(
+            [(vp & 0xF).astype(jnp.float32), (vp >> 4).astype(jnp.float32)], axis=1
+        )  # [bs, hd] raw codes
+        p_s = p * vpar[:, 0][None, :]  # P' = P * scale
+        acc_new = acc * corr + jax.lax.dot_general(
+            p_s, cv, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        zacc_new = zacc * corr + jnp.sum(p_s * vpar[:, 1][None, :], axis=1,
+                                         keepdims=True)
+        return m_new, l_new, acc_new, zacc_new
+
+    m0 = jnp.full((n_rep, 1), -jnp.inf, jnp.float32)
+    l0 = jnp.zeros((n_rep, 1), jnp.float32)
+    acc0 = jnp.zeros((n_rep, hd), jnp.float32)
+    z0 = jnp.zeros((n_rep, 1), jnp.float32)
+    n_blocks = S // block_s
+    m, l, acc, zacc = jax.lax.fori_loop(0, n_blocks, body, (m0, l0, acc0, z0))
+    o_ref[0, 0] = ((acc - zacc) / l).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("sm_scale", "block_s", "interpret"))
+def decode_attention_int4_v3(q, kp, kparam, vp, vparam, valid_len,
+                             sm_scale: float, block_s: int = 512,
+                             interpret: bool = False):
+    """Algebraic-dequant int4 flash-decode (see header note)."""
+    B, nkv, S, hdh = kp.shape
+    hd = hdh * 2
+    nh = q.shape[1]
+    n_rep = nh // nkv
+    bs = min(block_s, S)
+    qg = q.reshape(B, nkv, n_rep, hd)
+    out = pl.pallas_call(
+        functools.partial(_decode_kernel_v3, sm_scale=sm_scale, block_s=bs, hd=hd),
+        out_shape=jax.ShapeDtypeStruct((B, nkv, n_rep, hd), q.dtype),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(B, nkv),
+            in_specs=[
+                pl.BlockSpec((1, 1, n_rep, hd), lambda b, h, *_: (b, h, 0, 0)),
+                pl.BlockSpec((1, 1, S, hdh), lambda b, h, *_: (b, h, 0, 0)),
+                pl.BlockSpec((1, 1, S, 2), lambda b, h, *_: (b, h, 0, 0)),
+                pl.BlockSpec((1, 1, S, hdh), lambda b, h, *_: (b, h, 0, 0)),
+                pl.BlockSpec((1, 1, S, 2), lambda b, h, *_: (b, h, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, 1, n_rep, hd), lambda b, h, *_: (b, h, 0, 0)),
+        ),
+        interpret=interpret,
+    )(valid_len.astype(jnp.int32), qg, kp, kparam, vp, vparam)
     return out.reshape(B, nh, hd)

@@ -225,7 +225,7 @@ def serving_layer_int4cache(
     the fused int4 flash-decode kernel (kernels.kv_cache).
     """
     from flatquant_tpu.kernels.kv_cache import (
-        decode_attention_int4,
+        decode_attention_int4_v3,
         decode_attention_ref,
         quantize_pack_kv,
     )
@@ -294,7 +294,7 @@ def serving_layer_int4cache(
     else:
         valid = jnp.full((B,), pos + 1, jnp.int32)
         if use_kernel:
-            attn = decode_attention_int4(
+            attn = decode_attention_int4_v3(
                 q[:, 0], kp, kparam, vp, vparam, valid, sm_scale
             )[:, None]
         else:

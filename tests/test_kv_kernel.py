@@ -67,3 +67,37 @@ def test_decode_kernel_valid_len_1(rng):
     # output is bf16: one ulp at |v|~1 is ~0.008
     np.testing.assert_allclose(np.asarray(out[0, 0], np.float32), np.asarray(v0),
                                atol=1e-2)
+
+
+@pytest.mark.parametrize("shape", [(2, 256, 2, 8, 64), (1, 128, 4, 4, 128)])
+def test_decode_kernel_wide_matches_ref(rng, shape):
+    from flatquant_tpu.kernels.kv_cache import decode_attention_int4_wide
+
+    B, S, nkv, nh, hd = shape
+    q, (kp, ks, kz), (vp, vs, vz) = _mk(rng, B, S, nkv, nh, hd)
+    valid = jnp.asarray(rng.integers(1, S, B), jnp.int32)
+    kparam = jnp.concatenate([ks, kz], -1)
+    vparam = jnp.concatenate([vs, vz], -1)
+    ref = decode_attention_ref(q, kp, ks, kz, vp, vs, vz, valid, 0.125)
+    out = decode_attention_int4_wide(q, kp, kparam, vp, vparam, valid, 0.125,
+                                     block_s=64, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32), atol=5e-3
+    )
+
+
+@pytest.mark.parametrize("shape", [(2, 256, 2, 8, 64), (1, 128, 4, 4, 128)])
+def test_decode_kernel_v3_matches_ref(rng, shape):
+    from flatquant_tpu.kernels.kv_cache import decode_attention_int4_v3
+
+    B, S, nkv, nh, hd = shape
+    q, (kp, ks, kz), (vp, vs, vz) = _mk(rng, B, S, nkv, nh, hd)
+    valid = jnp.asarray(rng.integers(1, S, B), jnp.int32)
+    kparam = jnp.concatenate([ks, kz], -1)
+    vparam = jnp.concatenate([vs, vz], -1)
+    ref = decode_attention_ref(q, kp, ks, kz, vp, vs, vz, valid, 0.125)
+    out = decode_attention_int4_v3(q, kp, kparam, vp, vparam, valid, 0.125,
+                                   block_s=64, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32), atol=5e-3
+    )
