@@ -33,8 +33,18 @@ from flatquant_tpu.models.llama import init_params
 from flatquant_tpu.quantize.bake import bake_model
 from flatquant_tpu.quantize.spec import W4A4KV4
 from flatquant_tpu.quantize.state import init_model_fq
-from flatquant_tpu.serving.baseline import bf16_decode_step, bf16_prefill, build_bf16_params
-from flatquant_tpu.serving.engine import init_cache, serving_decode_step, serving_prefill
+from flatquant_tpu.serving.baseline import (
+    bf16_decode_step,
+    bf16_prefill,
+    build_bf16_params,
+    unstack_bf16_layers,
+)
+from flatquant_tpu.serving.engine import (
+    init_cache,
+    serving_decode_step,
+    serving_prefill,
+    unstack_serving_layers,
+)
 from flatquant_tpu.serving.quantized import build_serving_params
 
 # llama-2-7b layer dims at trimmed depth: the layer loop is a lax.scan, so
@@ -95,8 +105,10 @@ def main():
                                        merge_projections=True)
         bp_host = build_bf16_params(cfg, params)
     tpu = jax.devices()[0]
-    sp = jax.device_put(sp_host, tpu)
-    bp = jax.device_put(bp_host, tpu)
+    # unrolled layer lists: avoids the scan's per-iteration weight
+    # slice-copies (device-traced ~125 us/layer of extra traffic)
+    sp = jax.device_put(unstack_serving_layers(sp_host), tpu)
+    bp = jax.device_put(unstack_bf16_layers(bp_host), tpu)
     del params, baked, fq, baked_fq, sp_host, bp_host
 
     tok = jnp.zeros((BATCH, 1), jnp.int32)

@@ -72,10 +72,28 @@ def _layer(cfg, lp, x, cos, sin, ck, cv, pos, phase):
     return x, ck, cv
 
 
+def unstack_bf16_layers(bp: dict) -> dict:
+    n = jax.tree.leaves(bp["layers"])[0].shape[0]
+    out = dict(bp)
+    out["layers"] = [jax.tree.map(lambda a: a[i], bp["layers"]) for i in range(n)]
+    return out
+
+
 def _forward(cfg, bp, tokens, cache, pos, phase, max_len):
     B, S = tokens.shape
     x = bp["embed"][tokens].astype(jnp.bfloat16)
     cos, sin = rope_tables(cfg, jnp.arange(max_len))
+
+    if isinstance(bp["layers"], (list, tuple)):
+        # unrolled (see serving.engine: avoids scan's weight slice-copies)
+        cks, cvs = [], []
+        for i, lp in enumerate(bp["layers"]):
+            x, ck_i, cv_i = _layer(cfg, lp, x, cos, sin, cache["k"][i],
+                                   cache["v"][i], pos, phase)
+            cks.append(ck_i); cvs.append(cv_i)
+        x = rms_norm(x, bp["final_norm_w"], cfg.rms_eps)
+        logits = jnp.matmul(x[:, -1], bp["lm_head"].T.astype(x.dtype))
+        return logits.astype(jnp.float32), {"k": jnp.stack(cks), "v": jnp.stack(cvs)}
 
     def body(carry, xs):
         lp, ck, cv = xs

@@ -332,6 +332,40 @@ def _forward(cfg, fq_cfg, sp, tokens, cache, pos, phase, use_kernel, max_len,
     x = sp["embed"][tokens].astype(compute_dtype)
     cos, sin = _rope_slice(cfg, max_len)
 
+    if isinstance(sp["layers"], (list, tuple)):
+        # unrolled layer loop: each layer's weights are independent buffers,
+        # avoiding the scan's per-iteration dynamic-slice COPY of the packed
+        # weights (device traces showed ~125 us/layer of slice-copy traffic,
+        # an extra full weight read+write). Compile time grows with depth;
+        # use for latency-critical serving of moderate-depth models.
+        n_layers = len(sp["layers"])
+        if "kp" in cache:
+            kps, kpars, vps, vpars = [], [], [], []
+            for i, sl in enumerate(sp["layers"]):
+                x, kp_i, kparam_i, vp_i, vparam_i = serving_layer_int4cache(
+                    cfg, fq_cfg, sl, x, cos, sin, cache["kp"][i], cache["kparam"][i],
+                    cache["vp"][i], cache["vparam"][i], pos, phase, use_kernel,
+                    compute_dtype,
+                )
+                kps.append(kp_i); kpars.append(kparam_i)
+                vps.append(vp_i); vpars.append(vparam_i)
+            x = rms_norm(x, sp["final_norm_w"], cfg.rms_eps)
+            logits = jnp.matmul(x[:, -1], sp["lm_head"].T.astype(x.dtype))
+            return logits.astype(jnp.float32), {
+                "kp": jnp.stack(kps), "kparam": jnp.stack(kpars),
+                "vp": jnp.stack(vps), "vparam": jnp.stack(vpars),
+            }
+        cks, cvs = [], []
+        for i, sl in enumerate(sp["layers"]):
+            x, ck_i, cv_i = serving_layer(
+                cfg, fq_cfg, sl, x, cos, sin, cache["k"][i], cache["v"][i],
+                pos, phase, use_kernel, compute_dtype,
+            )
+            cks.append(ck_i); cvs.append(cv_i)
+        x = rms_norm(x, sp["final_norm_w"], cfg.rms_eps)
+        logits = jnp.matmul(x[:, -1], sp["lm_head"].T.astype(x.dtype))
+        return logits.astype(jnp.float32), {"k": jnp.stack(cks), "v": jnp.stack(cvs)}
+
     if "kp" in cache:  # packed int4 cache mode
         assert getattr(pos, "ndim", 0) == 0, (
             "int4 cache mode currently supports scalar positions only; "
@@ -374,6 +408,18 @@ def _forward(cfg, fq_cfg, sp, tokens, cache, pos, phase, use_kernel, max_len,
     x = rms_norm(x, sp["final_norm_w"], cfg.rms_eps)
     logits = jnp.matmul(x[:, -1], sp["lm_head"].T.astype(x.dtype))
     return logits.astype(jnp.float32), {"k": ck_new, "v": cv_new}
+
+
+def unstack_serving_layers(sp: dict) -> dict:
+    """Convert stacked layer params to a per-layer list (unrolled loop)."""
+    import jax as _jax
+
+    n = _jax.tree.leaves(sp["layers"])[0].shape[0]
+    out = dict(sp)
+    out["layers"] = [
+        _jax.tree.map(lambda a: a[i], sp["layers"]) for i in range(n)
+    ]
+    return out
 
 
 @partial(jax.jit, static_argnames=("cfg", "fq_cfg", "use_kernel", "max_len", "compute_dtype"))

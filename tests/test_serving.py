@@ -197,3 +197,25 @@ def test_rope_scaled_config_serving():
     c1, _ = rope_tables(cfg, jnp.arange(16))
     c0, _ = rope_tables(base, jnp.arange(16))
     assert float(jnp.max(jnp.abs(c1 - c0))) > 1e-4
+
+
+def test_unrolled_layers_match_scan(served):
+    from flatquant_tpu.serving.engine import unstack_serving_layers
+
+    cfg, fq_cfg, sp, _, _ = served
+    spu = unstack_serving_layers(sp)
+    toks = np.random.default_rng(5).integers(0, cfg.vocab_size, (1, 8)).astype(np.int32)
+    l1, c1 = serving_prefill(cfg, fq_cfg, sp, jnp.asarray(toks),
+                             init_cache(cfg, 1, 16, dtype=jnp.float32),
+                             use_kernel=False, max_len=16, compute_dtype=jnp.float32)
+    l2, c2 = serving_prefill(cfg, fq_cfg, spu, jnp.asarray(toks),
+                             init_cache(cfg, 1, 16, dtype=jnp.float32),
+                             use_kernel=False, max_len=16, compute_dtype=jnp.float32)
+    np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+    # decode step too
+    nxt = jnp.argmax(l2, -1)[:, None].astype(jnp.int32)
+    d1, _ = serving_decode_step(cfg, fq_cfg, sp, nxt, c1, jnp.int32(8),
+                                use_kernel=False, max_len=16, compute_dtype=jnp.float32)
+    d2, _ = serving_decode_step(cfg, fq_cfg, spu, nxt, c2, jnp.int32(8),
+                                use_kernel=False, max_len=16, compute_dtype=jnp.float32)
+    np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))
