@@ -193,9 +193,16 @@ def decompose_matrices(t: AnyDecompose, inv_t: bool = False):
 
 
 def apply_decompose(t: AnyDecompose, x, inv_t: bool = False, use_diag: bool = True):
-    """x * diag_scale (or / for inv_t) then x @ kron(left, right)."""
+    """x * diag_scale (or / for inv_t) then x @ kron(left, right).
+
+    When t.size divides x's last dim (shard-aligned transforms), the kron
+    applies block-diagonally via the reshape and the diag tiles across
+    blocks."""
     if t.diag_scale is not None and use_diag:
         d = t.diag_scale.astype(x.dtype)
+        if d.shape[0] != x.shape[-1]:
+            assert x.shape[-1] % d.shape[0] == 0
+            d = jnp.tile(d, x.shape[-1] // d.shape[0])
         x = x / d if inv_t else x * d
     left, right = decompose_matrices(t, inv_t)
     return kronecker_matmul(x, left.astype(x.dtype), right.astype(x.dtype))

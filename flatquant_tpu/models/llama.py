@@ -260,9 +260,14 @@ def llama_layer(
 
     if quant and a.o_trans is not None:
         # per-head mixing transform on the output: heads axis contraction
-        # with o_trans^T (llama_utils.py:276-277)
+        # with o_trans^T (llama_utils.py:276-277); when the transform is
+        # shard-aligned (size nh // tp) it mixes block-diagonally within
+        # each shard's head group
         o_mat = single_matrix(a.o_trans).astype(attn.dtype)
-        attn = jnp.einsum("ji,bsjd->bsid", o_mat, attn)
+        g = o_mat.shape[0]
+        attn = attn.reshape(B, S, cfg.num_heads // g, g, cfg.head_dim)
+        attn = jnp.einsum("ji,bstjd->bstid", o_mat, attn)
+        attn = attn.reshape(B, S, cfg.num_heads, cfg.head_dim)
     elif quant and a.vcache_trans is not None:
         # KV-only quant: undo the V transform fused into v_proj by applying
         # Pv^{-1} over head_dim (llama_utils.py:270-274)

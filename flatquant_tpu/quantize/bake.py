@@ -77,8 +77,12 @@ def bake_layer(
         m = m.replace(up_gate_trans=m.up_gate_trans.replace(diag_scale=None))
     if m.down_trans is not None and m.down_trans.diag_scale is not None:
         # scale up_proj out-rows so silu(gate)*up arrives pre-scaled
-        # (llama_utils.py:88-93)
-        new["wup"] = new["wup"] * m.down_trans.diag_scale[:, None]
+        # (llama_utils.py:88-93); tiles across blocks for shard-aligned
+        # (size I//tp) transforms
+        diag = m.down_trans.diag_scale
+        if diag.shape[0] != new["wup"].shape[0]:
+            diag = jnp.tile(diag, new["wup"].shape[0] // diag.shape[0])
+        new["wup"] = new["wup"] * diag[:, None]
         m = m.replace(down_trans=m.down_trans.replace(diag_scale=None))
 
     return new, LayerFQ(attn=a, mlp=m)

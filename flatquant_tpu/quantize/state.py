@@ -76,20 +76,30 @@ class LayerFQ:
     mlp: MlpFQ
 
 
-def init_layer_fq(cfg: LlamaConfig, fq: FQConfig, rng: np.random.Generator) -> LayerFQ:
+def init_layer_fq(cfg: LlamaConfig, fq: FQConfig, rng: np.random.Generator,
+                  tp: int = 1) -> LayerFQ:
+    """tp > 1: shard-aligned transforms. The transforms acting on
+    row-parallel-sharded dims (down_trans on intermediate, o_trans on
+    heads) are built at size dim // tp; `kronecker_matmul`/`apply_single`'s
+    reshape then applies them block-diagonally, one identical block per TP
+    shard — shard-local with zero cross-shard collectives (the reference's
+    per-rank trans, vllm llama_flatquant.py:110, with the block shared
+    across ranks so calibration stays single-program)."""
     wa_quant = fq.w_bits < 16 or fq.a_bits < 16
     ln_trans = o_trans = kcache = vcache = None
     up_gate = down = None
     if wa_quant:
+        assert cfg.intermediate_size % tp == 0 and cfg.num_heads % tp == 0
         ln_trans = init_decompose(
             cfg.hidden_size, rng, add_diag=fq.add_diag, direct_inv=fq.direct_inv
         )
-        o_trans = init_single(cfg.num_heads, rng, direct_inv=fq.direct_inv)
+        o_trans = init_single(cfg.num_heads // tp, rng, direct_inv=fq.direct_inv)
         up_gate = init_decompose(
             cfg.hidden_size, rng, add_diag=fq.add_diag, direct_inv=fq.direct_inv
         )
         down = init_decompose(
-            cfg.intermediate_size, rng, add_diag=fq.add_diag, direct_inv=fq.direct_inv
+            cfg.intermediate_size // tp, rng, add_diag=fq.add_diag,
+            direct_inv=fq.direct_inv,
         )
     if fq.k_bits < 16 or fq.q_bits < 16:
         kcache = init_single(cfg.head_dim, rng, direct_inv=fq.direct_inv)
@@ -120,10 +130,12 @@ def init_layer_fq(cfg: LlamaConfig, fq: FQConfig, rng: np.random.Generator) -> L
     return LayerFQ(attn=attn, mlp=mlp)
 
 
-def init_model_fq(cfg: LlamaConfig, fq: FQConfig, seed: int = 0):
-    """Stacked LayerFQ for all layers: every leaf gets a leading [L] axis."""
+def init_model_fq(cfg: LlamaConfig, fq: FQConfig, seed: int = 0, tp: int = 1):
+    """Stacked LayerFQ for all layers: every leaf gets a leading [L] axis.
+
+    tp > 1 builds shard-aligned down/o transforms (see init_layer_fq)."""
     rng = np.random.default_rng(seed)
-    per_layer = [init_layer_fq(cfg, fq, rng) for _ in range(cfg.num_layers)]
+    per_layer = [init_layer_fq(cfg, fq, rng, tp=tp) for _ in range(cfg.num_layers)]
     return jax.tree.map(lambda *xs: jnp.stack(xs), *per_layer)
 
 

@@ -190,8 +190,10 @@ def serving_layer(
 
     # ---- output path ----
     if "o_t" in sl:
-        o_mat = sl["o_t"]
-        attn = jnp.einsum("ji,bsjd->bsid", o_mat.astype(attn.dtype), attn)
+        o_mat = sl["o_t"].astype(attn.dtype)
+        g = o_mat.shape[0]
+        attn = attn.reshape(B, S, nh // g, g, hd)
+        attn = jnp.einsum("ji,bstjd->bstid", o_mat, attn).reshape(B, S, nh, hd)
     elif "v_t_inv" in sl:
         attn = jnp.matmul(attn, sl["v_t_inv"].T.astype(attn.dtype))
     attn = attn.reshape(B, S, nh * hd)
@@ -304,7 +306,10 @@ def serving_layer_int4cache(
             )[:, None]
 
     if "o_t" in sl:
-        attn = jnp.einsum("ji,bsjd->bsid", sl["o_t"].astype(attn.dtype), attn)
+        o_mat = sl["o_t"].astype(attn.dtype)
+        g = o_mat.shape[0]
+        attn = attn.reshape(B, S, nh // g, g, hd)
+        attn = jnp.einsum("ji,bstjd->bstid", o_mat, attn).reshape(B, S, nh, hd)
     elif "v_t_inv" in sl:
         attn = jnp.matmul(attn, sl["v_t_inv"].T.astype(attn.dtype))
     attn = attn.reshape(B, S, nh * hd)

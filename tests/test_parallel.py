@@ -94,3 +94,58 @@ def test_deepseek_sharded_forward_matches():
 
     out = fwd(sp, sfq, toks)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=3e-4, atol=3e-4)
+
+
+def test_shard_aligned_transforms_tp2(mesh8):
+    """tp>1 shard-aligned (block-diagonal) down/o transforms: invariance,
+    serving parity, and sharded==single on a dp2/tp4... (tp=2 here to
+    divide tiny heads)."""
+    import dataclasses as _dc
+
+    from flatquant_tpu.quantize.bake import bake_model, rtn_quantize_params
+    from flatquant_tpu.quantize.spec import W4A4KV4
+    from flatquant_tpu.serving.engine import init_cache, serving_prefill
+    from flatquant_tpu.serving.quantized import build_serving_params
+
+    cfg = get_config("tiny-llama")
+    params = init_params(cfg, seed=0)
+    toks = np.random.default_rng(0).integers(0, cfg.vocab_size, (2, 12)).astype(np.int32)
+    fq = init_model_fq(cfg, W4A4KV4, seed=0, tp=2)
+    assert fq.attn.o_trans.factor.d.shape[-1] == cfg.num_heads // 2
+    assert fq.mlp.down_trans.diag_scale.shape[-1] == cfg.intermediate_size // 2
+
+    # calib == baked eval
+    lc = llama_forward(cfg, params, jnp.asarray(toks), fq=fq, fq_cfg=W4A4KV4,
+                       mode="calib", compute_dtype=jnp.float32)
+    bp, bfq = bake_model(cfg, W4A4KV4, params, fq)
+    ep = rtn_quantize_params(W4A4KV4, bp)
+    le = llama_forward(cfg, ep, jnp.asarray(toks), fq=bfq, fq_cfg=W4A4KV4,
+                       mode="eval", compute_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(le), np.asarray(lc), atol=5e-3, rtol=5e-3)
+
+    # real-quant serving parity (kv16 config: serving prefill attends
+    # unquantized by design, so exact parity needs k/v at 16 bits)
+    from flatquant_tpu.quantize.spec import W4A4
+
+    fq16 = init_model_fq(cfg, W4A4, seed=0, tp=2)
+    lc16 = llama_forward(cfg, params, jnp.asarray(toks), fq=fq16, fq_cfg=W4A4,
+                         mode="calib", compute_dtype=jnp.float32)
+    bp16, bfq16 = bake_model(cfg, W4A4, params, fq16)
+    sp = build_serving_params(cfg, W4A4, bp16, bfq16, dtype=jnp.float32)
+    lr, _ = serving_prefill(cfg, W4A4, sp, jnp.asarray(toks),
+                            init_cache(cfg, 2, 16, dtype=jnp.float32),
+                            use_kernel=False, max_len=16, compute_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(lr), np.asarray(lc16[:, -1]), atol=1e-4)
+
+    # sharded forward matches single-device
+    sharded_params = shard_tree(params, llama_param_specs(cfg, params), mesh8)
+    sharded_fq = shard_tree(fq, replicated_specs(fq), mesh8)
+    tk = jax.device_put(jnp.asarray(toks), NamedSharding(mesh8, P("dp", None)))
+
+    @jax.jit
+    def fwd(p, f, t):
+        return llama_forward(cfg, p, t, fq=f, fq_cfg=W4A4KV4, mode="calib",
+                             compute_dtype=jnp.float32)
+
+    out = fwd(sharded_params, sharded_fq, tk)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(lc), rtol=3e-4, atol=3e-4)
