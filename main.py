@@ -77,6 +77,9 @@ def parser_gen():
     p.add_argument("--lm_eval", nargs="*", default=None, help="lm-eval task names")
     p.add_argument("--lm_eval_batch_size", type=int, default=8)
     p.add_argument("--generate_demo", type=int, default=0, help="decode N tokens as a smoke test")
+    p.add_argument("--plot_flatness", default=None, metavar="PNG",
+                   help="save per-channel flatness curves (plot_flatness.py analog)")
+    p.add_argument("--flatness_layers", type=int, nargs="+", default=[0])
     p.add_argument("--tokenizer_path", default=None)
     return p
 
@@ -260,6 +263,15 @@ def main(argv=None):
             batch_size=args.lm_eval_batch_size, log=log.info,
         )
         log.info(f"lm-eval: {results}")
+
+    if args.plot_flatness and not is_deepseek:
+        from flatquant_tpu.evals.flatness import model_flatness, plot_flatness
+
+        toks = jnp.asarray(data.train[:1, : min(seqlen, 128)])
+        fqs = fq_state if quantize else None
+        res = model_flatness(cfg, params, fqs, toks, layers=tuple(args.flatness_layers))
+        path = plot_flatness(res, args.plot_flatness)
+        log.info(f"flatness plot saved to {path}")
 
     if args.generate_demo > 0 and quantize:
         from flatquant_tpu.serving.engine import generate
