@@ -20,8 +20,8 @@ import jax.numpy as jnp
 jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_tpu_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-from flatquant_tpu.kernels.kv_cache import decode_attention_int4, quantize_pack_kv
-from flatquant_tpu.utils.benchmark import compare
+from flatquant_tpu.kernels.kv_cache import decode_attention_int4_v3, quantize_pack_kv
+from flatquant_tpu.utils.benchmark import device_compare
 
 
 def bf16_decode_attn(q, k, v, valid, sm_scale):
@@ -59,16 +59,21 @@ def main():
         kp, kparam, vp, vparam = map(jax.device_put, (kp, kparam, vp, vparam))
         sm = 1.0 / np.sqrt(hd)
 
-        times = compare(
+        def int4_attn_case(q, kp, kparam, vp, vparam, valid):
+            return decode_attention_int4_v3(q, kp, kparam, vp, vparam, valid,
+                                            sm, block_s=256)
+
+        def bf16_attn_case(q, kb, vb, valid):
+            return bf16_decode_attn(q, kb, vb, valid, sm)
+
+        times = device_compare(
             {
-                "int4": (lambda q, kp, kparam, vp, vparam, valid:
-                         decode_attention_int4(q, kp, kparam, vp, vparam, valid, sm, block_s=256),
-                         (q, kp, kparam, vp, vparam, valid)),
-                "bf16": (lambda q, kb, vb, valid: bf16_decode_attn(q, kb, vb, valid, sm),
-                         (q, kb, vb, valid)),
+                "int4_attn_case": (int4_attn_case, (q, kp, kparam, vp, vparam, valid)),
+                "bf16_attn_case": (bf16_attn_case, (q, kb, vb, valid)),
             },
-            iters=20,
+            iters=10,
         )
+        times = {"int4": times["int4_attn_case"], "bf16": times["bf16_attn_case"]}
         int4_bytes = kp.nbytes + vp.nbytes + kparam.nbytes + vparam.nbytes
         bf16_bytes = kb.nbytes + vb.nbytes
         print(json.dumps({

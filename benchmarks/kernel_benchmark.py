@@ -29,7 +29,7 @@ from flatquant_tpu.kernels.int4_matmul import (
     quantize_acts_sym,
     w4a8_matmul,
 )
-from flatquant_tpu.utils.benchmark import compare, roofline_gemm
+from flatquant_tpu.utils.benchmark import device_compare, roofline_gemm
 
 SHAPES = {
     "llama2-7b qkv decode": (8, 4096, 4096),
@@ -55,13 +55,21 @@ def main():
         w16 = jax.device_put(jax.random.normal(jax.random.PRNGKey(0), (k, n), jnp.bfloat16) * 0.01)
         xb = jax.device_put(x.astype(jnp.bfloat16))
 
-        times = compare(
+        def w4a8_case(xq, xs, wp, ws):
+            return w4a8_matmul(xq, xs, wp, ws, jnp.bfloat16,
+                               block_m=min(256, m), block_n=1024)
+
+        def bf16_case(xb, w16):
+            return xb @ w16
+
+        times = device_compare(
             {
-                "w4a8": (lambda xq, xs, wp, ws: w4a8_matmul(xq, xs, wp, ws, jnp.bfloat16, block_m=min(256, m), block_n=1024), (xq, xs, wp, ws)),
-                "bf16": (lambda xb, w16: xb @ w16, (xb, w16)),
+                "w4a8_case": (w4a8_case, (xq, xs, wp, ws)),
+                "bf16_case": (bf16_case, (xb, w16)),
             },
-            iters=args.iters,
+            iters=10,
         )
+        times = {"w4a8": times["w4a8_case"], "bf16": times["bf16_case"]}
         rl4 = roofline_gemm(m, k, n, times["w4a8"], wp.nbytes)
         rl16 = roofline_gemm(m, k, n, times["bf16"], w16.nbytes)
         results[name] = {

@@ -29,13 +29,21 @@ from flatquant_tpu.models.llama import init_params
 from flatquant_tpu.quantize.bake import bake_model
 from flatquant_tpu.quantize.spec import W4A4KV4
 from flatquant_tpu.quantize.state import init_model_fq
-from flatquant_tpu.serving.baseline import bf16_decode_step, build_bf16_params
-from flatquant_tpu.serving.engine import init_cache, serving_decode_step
+from flatquant_tpu.serving.baseline import (
+    bf16_decode_step,
+    build_bf16_params,
+    unstack_bf16_layers,
+)
+from flatquant_tpu.serving.engine import (
+    init_cache,
+    serving_decode_step,
+    unstack_serving_layers,
+)
 from flatquant_tpu.serving.quantized import (
     build_hadamard_serving_params,
     build_serving_params,
 )
-from flatquant_tpu.utils.benchmark import compare
+from flatquant_tpu.utils.benchmark import device_compare
 
 
 def main():
@@ -55,13 +63,22 @@ def main():
         sp_had = build_hadamard_serving_params(cfg, fq_cfg, params)
         bp = build_bf16_params(cfg, params)
     dev = jax.devices()[0]
-    sp_flat, sp_had, bp = (jax.device_put(x, dev) for x in (sp_flat, sp_had, bp))
+    # unrolled layers (see serving.engine) + enough iterations to amortize
+    # the ~25 ms tunnel dispatch
+    sp_flat = jax.device_put(unstack_serving_layers(sp_flat), dev)
+    sp_had = jax.device_put(unstack_serving_layers(sp_had), dev)
+    bp = jax.device_put(unstack_bf16_layers(bp), dev)
 
     tok = jnp.zeros((args.batch, 1), jnp.int32)
     pos = jnp.int32(64)
     ml = args.max_len
 
-    def quant_step(sp, tok, cache, pos):
+    def flatquant_step(sp, tok, cache, pos):
+        logits, cache = serving_decode_step.__wrapped__(
+            cfg, fq_cfg, sp, tok, cache, pos, True, ml, jnp.bfloat16)
+        return logits
+
+    def quarot_step(sp, tok, cache, pos):
         logits, cache = serving_decode_step.__wrapped__(
             cfg, fq_cfg, sp, tok, cache, pos, True, ml, jnp.bfloat16)
         return logits
@@ -71,16 +88,16 @@ def main():
         return logits
 
     cases = {
-        "flatquant": (quant_step, (sp_flat, tok, init_cache(cfg, args.batch, ml), pos)),
-        "quarot_had": (quant_step, (sp_had, tok, init_cache(cfg, args.batch, ml), pos)),
-        "bf16": (bf16_step, (bp, tok, init_cache(cfg, args.batch, ml), pos)),
+        "flatquant_step": (flatquant_step, (sp_flat, tok, init_cache(cfg, args.batch, ml), pos)),
+        "quarot_step": (quarot_step, (sp_had, tok, init_cache(cfg, args.batch, ml), pos)),
+        "bf16_step": (bf16_step, (bp, tok, init_cache(cfg, args.batch, ml), pos)),
     }
-    times = compare(cases, iters=16)
+    times = device_compare(cases, iters=10)
     n_layers = cfg.num_layers
     out = {name: round(t * 1e6 / n_layers, 1) for name, t in times.items()}
     print(json.dumps({
-        "us_per_layer_decode": out,
-        "speedup_vs_bf16": {n: round(times["bf16"] / t, 3) for n, t in times.items()},
+        "device_us_per_layer_decode": out,
+        "speedup_vs_bf16": {n: round(times["bf16_step"] / t, 3) for n, t in times.items()},
         "batch": args.batch,
     }))
 

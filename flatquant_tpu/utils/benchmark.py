@@ -1,12 +1,17 @@
 """Timing infrastructure for TPU benchmarks.
 
-The axon tunnel adds ~35 ms fixed dispatch latency per jitted call and the
-shared chip drifts run-to-run, so every measurement here:
-  - chains `iters` repetitions inside ONE jitted fori_loop,
-  - forces completion with a scalar host fetch,
-  - interleaves contenders and keeps the per-contender minimum.
+Two measurement modes:
+  - `device_compare` (preferred): run each case N times under a
+    jax.profiler trace and report the DEVICE-side duration of its jit —
+    immune to both the ~35 ms tunnel dispatch latency and to XLA hoisting
+    loop-invariant work out of timing loops.
+  - `compare` (wall-clock fallback): chains repetitions in one jitted
+    fori_loop. VALID ONLY for step functions that carry state (e.g. a KV
+    cache) between iterations; a pure function of loop-invariant inputs
+    gets CSE-hoisted and the loop measures dispatch only. (This bit us in
+    round 1 — see STATUS.md.)
 (The reference uses torch.cuda.synchronize + warmups,
-layer_benchmark.py:44-61; this is the TPU-tunnel equivalent.)
+layer_benchmark.py:44-61.)
 """
 
 from __future__ import annotations
@@ -62,6 +67,63 @@ def compare(cases: Dict[str, Tuple[Callable, tuple]], iters: int = 20,
             float(run(*args))
             best[name] = min(best[name], (time.perf_counter() - t0) / iters)
     return best
+
+
+def device_compare(cases: Dict[str, Tuple[Callable, tuple]], iters: int = 10,
+                   trace_dir: str = "/tmp/fq_bench_trace") -> Dict[str, float]:
+    """Profiler-based comparison: {name: device seconds per call}.
+
+    Each case's callable is jitted, warmed, then invoked `iters` times under
+    one jax.profiler trace; the per-case cost is its jit's total device
+    duration / iters (matched by function name in the trace).
+    """
+    import collections
+    import glob
+    import gzip
+    import json
+    import os
+    import shutil
+
+    jitted = {}
+    for name, (fn, args) in cases.items():
+        f = jax.jit(fn)
+        jax.block_until_ready(f(*args))  # warm/compile outside the trace
+        jitted[name] = (f, args)
+
+    shutil.rmtree(trace_dir, ignore_errors=True)
+    os.makedirs(trace_dir, exist_ok=True)
+    jax.profiler.start_trace(trace_dir)
+    out = None
+    for name, (f, args) in jitted.items():
+        for _ in range(iters):
+            out = f(*args)
+        jax.block_until_ready(out)
+    jax.profiler.stop_trace()
+
+    tr = sorted(glob.glob(os.path.join(trace_dir, "**", "*.trace.json.gz"),
+                          recursive=True))[-1]
+    with gzip.open(tr) as fh:
+        data = json.load(fh)
+    pids = {e["pid"]: e["args"].get("name", "") for e in data["traceEvents"]
+            if e.get("ph") == "M" and e.get("name") == "process_name"}
+    durs = collections.defaultdict(float)
+    for e in data["traceEvents"]:
+        if e.get("ph") == "X" and "dur" in e and "TPU" in pids.get(e["pid"], ""):
+            durs[e["name"]] += e["dur"]
+    results = {}
+    for name in cases:
+        # jit events are named jit_<wrapped fn name>(...); match by prefix
+        total = sum(d for evname, d in durs.items() if evname.startswith("jit_"))
+        mine = [d for evname, d in durs.items()
+                if name in evname and evname.startswith("jit_")]
+        if not mine:
+            # fall back: jit of a lambda is jit_<lambda>; use ordering-free
+            # match on the wrapped callable's __name__
+            fn_name = cases[name][0].__name__
+            mine = [d for evname, d in durs.items()
+                    if evname.startswith("jit_") and fn_name in evname]
+        results[name] = (mine[0] / iters / 1e6) if mine else float("nan")
+    return results
 
 
 def roofline_gemm(m: int, k: int, n: int, t_seconds: float,
