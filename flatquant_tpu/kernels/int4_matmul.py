@@ -1,5 +1,5 @@
-"""W4A8 GEMM Pallas kernel: int4-packed weights, int8 activations, MXU int8
-compute, fused dequant epilogue.
+"""W4A8 GEMM Pallas kernel: int4-packed weights, bf16-code activations,
+exact-integer MXU compute, fused dequant epilogue.
 
 Replaces the reference's CUTLASS int4b_t tensor-core GEMM + standalone
 sym_quant/sym_dequant CUDA kernels (deploy/kernels/gemm.cu:16-26,
