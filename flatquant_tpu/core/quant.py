@@ -244,7 +244,11 @@ def weight_find_params(w, cfg: WeightQuantCfg):
             absmax = jnp.maximum(jnp.abs(xmin), xmax).clip(min=1e-5)
             scale, zero = _mse_shrink(rows, -absmax, absmax, scale, zero, cfg)
         else:
-            scale, zero = _mse_shrink(rows, xmin, xmax, scale, zero, cfg)
+            # search over the degenerate-fixed bounds (the reference mutates
+            # xmin/xmax in place before the grid, quant_utils.py:171-173);
+            # passing the raw bounds would make all-zero rows scan scale1=0
+            # and rely on NaN-comparison semantics to stay correct
+            scale, zero = _mse_shrink(rows, xmin_, xmax_, scale, zero, cfg)
 
     return scale[:, None], zero[:, None]
 

@@ -50,8 +50,19 @@ def batched_loglikelihood(
         toks_batch = np.zeros((len(chunk), max_len), np.int32)
         meta = []
         for j, (ctx, cont) in enumerate(chunk):
-            seq = (list(ctx) + list(cont))[-(max_len):]
+            ctx, cont = list(ctx), list(cont)
+            if not ctx:
+                # lm-eval can issue empty-context requests; score from a
+                # BOS-like token (HFLM prepends EOT) so logits[start-1]
+                # never negative-indexes into the wrong position
+                ctx = [0]
+            seq = (ctx + cont)[-(max_len):]
             start = len(seq) - len(cont)
+            if start < 1:
+                raise ValueError(
+                    f"continuation of {len(cont)} tokens leaves no context "
+                    f"within max_len={max_len}; raise max_len"
+                )
             toks_batch[j, : len(seq)] = seq
             meta.append((start, len(seq)))
         logits = np.asarray(fwd(params, fq, jnp.asarray(toks_batch)))

@@ -102,6 +102,9 @@ def decode_attention_ref(q, kp, ks, kz, vp, vs, vz, valid_len, sm_scale):
     scores = jnp.where(ids < lim, scores, -jnp.inf)
     probs = jax.nn.softmax(scores, axis=-1)
     out = jnp.einsum("bhs,bhsd->bhd", probs, v)
+    # rows with valid_len == 0 have all scores masked -> define output as 0
+    # (matches the Pallas kernels' clamped online softmax)
+    out = jnp.where(jnp.broadcast_to(lim, (B, 1, 1)) > 0, out, 0.0)
     return out.astype(q.dtype)
 
 
@@ -140,7 +143,8 @@ def _decode_kernel(valid_ref, q_ref, kp_ref, kparam_ref, vp_ref, vparam_ref,
         ids = jax.lax.broadcasted_iota(jnp.int32, (1, block_s), 1) + start
         s = jnp.where(ids < valid, s, -jnp.inf)
 
-        m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
+        # clamp keeps p/corr finite when every score is masked (valid_len==0)
+        m_new = jnp.maximum(jnp.maximum(m, jnp.max(s, axis=1, keepdims=True)), -1e30)
         p = jnp.exp(s - m_new)  # [n_rep, bs]
         corr = jnp.exp(m - m_new)
         l_new = l * corr + jnp.sum(p, axis=1, keepdims=True)
@@ -163,7 +167,7 @@ def _decode_kernel(valid_ref, q_ref, kp_ref, kparam_ref, vp_ref, vparam_ref,
     acc0 = jnp.zeros((n_rep, hd), jnp.float32)
     n_blocks = S // block_s
     m, l, acc = jax.lax.fori_loop(0, n_blocks, body, (m0, l0, acc0))
-    o_ref[0, 0] = (acc / l).astype(o_ref.dtype)
+    o_ref[0, 0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
 
 
 @functools.partial(
@@ -242,7 +246,8 @@ def _decode_kernel_wide(valid_ref, q_ref, kp_ref, kparam_ref, vp_ref,
             ) * sm_scale
             ids = jax.lax.broadcasted_iota(jnp.int32, (1, block_s), 1) + start
             sc = jnp.where(ids < valid, sc, -jnp.inf)
-            m_new = jnp.maximum(m, jnp.max(sc, axis=1, keepdims=True))
+            m_new = jnp.maximum(
+                jnp.maximum(m, jnp.max(sc, axis=1, keepdims=True)), -1e30)
             p = jnp.exp(sc - m_new)
             corr = jnp.exp(m - m_new)
             l_new = l * corr + jnp.sum(p, axis=1, keepdims=True)
@@ -262,7 +267,7 @@ def _decode_kernel_wide(valid_ref, q_ref, kp_ref, kparam_ref, vp_ref,
         l0 = jnp.zeros((n_rep, 1), jnp.float32)
         acc0 = jnp.zeros((n_rep, hd), jnp.float32)
         m, l, acc = jax.lax.fori_loop(0, n_blocks, body, (m0, l0, acc0))
-        o_ref[0, hidx] = (acc / l).astype(o_ref.dtype)
+        o_ref[0, hidx] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
         return 0
 
     jax.lax.fori_loop(0, nkv, head_body, 0)
@@ -335,7 +340,8 @@ def _decode_kernel_v3(valid_ref, q_ref, kp_ref, kparam_ref, vp_ref,
         sc = (raw - qsum * kzr[None, :]) * ksc[None, :] * sm_scale
         ids = jax.lax.broadcasted_iota(jnp.int32, (1, block_s), 1) + start
         sc = jnp.where(ids < valid, sc, -jnp.inf)
-        m_new = jnp.maximum(m, jnp.max(sc, axis=1, keepdims=True))
+        m_new = jnp.maximum(
+            jnp.maximum(m, jnp.max(sc, axis=1, keepdims=True)), -1e30)
         p = jnp.exp(sc - m_new)
         corr = jnp.exp(m - m_new)
         l_new = l * corr + jnp.sum(p, axis=1, keepdims=True)
@@ -359,7 +365,7 @@ def _decode_kernel_v3(valid_ref, q_ref, kp_ref, kparam_ref, vp_ref,
     z0 = jnp.zeros((n_rep, 1), jnp.float32)
     n_blocks = S // block_s
     m, l, acc, zacc = jax.lax.fori_loop(0, n_blocks, body, (m0, l0, acc0, z0))
-    o_ref[0, 0] = ((acc - zacc) / l).astype(o_ref.dtype)
+    o_ref[0, 0] = ((acc - zacc) / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("sm_scale", "block_s", "interpret"))

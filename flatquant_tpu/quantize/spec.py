@@ -73,6 +73,7 @@ class FQConfig:
             sym=not self.w_asym,
             perchannel=True,
             group_size=self.w_groupsize,
+            mse=self.gptq_mse,
         )
 
     @property

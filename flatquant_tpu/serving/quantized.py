@@ -48,10 +48,18 @@ from flatquant_tpu.quantize.spec import FQConfig
 # ---------------------------------------------------------------------------
 
 
-def _pack_linear(w, w_cfg) -> Dict[str, Any]:
-    """fp weight [out, in] -> planar int4 + per-channel scale."""
+def _pack_linear(w, w_cfg, w_q=None) -> Dict[str, Any]:
+    """fp weight [out, in] -> planar int4 + per-channel scale.
+
+    `w` provides the scale (find_params on the pre-weight-quant baked
+    weight — the same rule GPTQ/RTN use); `w_q`, when given, carries
+    values already on that grid (gptq_model / rtn_quantize_params output)
+    whose integer codes are recovered exactly by rounding against the
+    scale. Without it the export silently degrades to plain RTN even when
+    --gptq ran (the reference exports from the GPTQ quantizers,
+    flat_utils.py:97-204)."""
     scale, zero = weight_find_params(w, w_cfg)
-    q = weight_quantize_int(w, scale, zero, w_cfg)
+    q = weight_quantize_int(w if w_q is None else w_q, scale, zero, w_cfg)
     return {"wp": pack_weight_planar(q), "scale": scale[:, 0].astype(jnp.float32)}
 
 
@@ -66,6 +74,7 @@ def build_serving_params(
     baked_fq,
     dtype=jnp.bfloat16,
     merge_projections: bool = False,
+    eval_params: Optional[dict] = None,
 ) -> dict:
     """Convert a reparameterized (bake_model, NOT rtn-quantized) model into
     the packed serving format. Stacked over layers like the fp params.
@@ -75,14 +84,20 @@ def build_serving_params(
     analog, llama_flatquant.py:171-187): one per-token quantization + one
     kernel dispatch instead of three. The merged input uses the q (resp.
     up) branch's LAC clip factors — a serving-level approximation; leave
-    False for exact fake-vs-real parity checks."""
+    False for exact fake-vs-real parity checks.
+
+    eval_params: the output of gptq_model / rtn_quantize_params. When
+    given, the packed integer codes come from these on-grid weights
+    (preserving GPTQ error feedback) while scales still come from
+    baked_params — the combination the quantized eval path actually used."""
     assert fq_cfg.w_cfg.sym and fq_cfg.w_cfg.group_size <= 0, (
         "real-quant path currently supports symmetric per-channel weights "
         "(the reference CUTLASS path has the same restriction, REALQUANT.md)"
     )
     w_cfg = fq_cfg.w_cfg
+    eval_layers = (eval_params or baked_params)["layers"]
 
-    def convert_layer(lp, lfq):
+    def convert_layer(lp, lfq, elp):
         a, m = lfq.attn, lfq.mlp
         out = {
             "ln1_w": lp["ln1_w"].astype(jnp.float32),
@@ -90,11 +105,13 @@ def build_serving_params(
         }
         if merge_projections:
             qkv_w = jnp.concatenate([lp["wq"], lp["wk"], lp["wv"]], axis=0)
-            out["qkv"] = _pack_linear(qkv_w, w_cfg)
+            qkv_q = jnp.concatenate([elp["wq"], elp["wk"], elp["wv"]], axis=0)
+            out["qkv"] = _pack_linear(qkv_w, w_cfg, qkv_q)
             ug_w = jnp.concatenate([lp["wup"], lp["wgate"]], axis=0)
-            out["upgate"] = _pack_linear(ug_w, w_cfg)
-            out["o"] = _pack_linear(lp["wo"], w_cfg)
-            out["down"] = _pack_linear(lp["wdown"], w_cfg)
+            ug_q = jnp.concatenate([elp["wup"], elp["wgate"]], axis=0)
+            out["upgate"] = _pack_linear(ug_w, w_cfg, ug_q)
+            out["o"] = _pack_linear(lp["wo"], w_cfg, elp["wo"])
+            out["down"] = _pack_linear(lp["wdown"], w_cfg, elp["wdown"])
             if lp.get("bq") is not None:
                 out["bqkv"] = jnp.concatenate(
                     [lp["bq"], lp["bk"], lp["bv"]], axis=0
@@ -102,7 +119,7 @@ def build_serving_params(
         else:
             for name, key in (("q", "wq"), ("k", "wk"), ("v", "wv"), ("o", "wo"),
                               ("up", "wup"), ("gate", "wgate"), ("down", "wdown")):
-                out[name] = _pack_linear(lp[key], w_cfg)
+                out[name] = _pack_linear(lp[key], w_cfg, elp[key])
             for bkey in ("bq", "bk", "bv"):
                 if lp.get(bkey) is not None:
                     out[bkey] = lp[bkey].astype(jnp.float32)
@@ -144,7 +161,7 @@ def build_serving_params(
                 out[nm + "_clip"] = (cmax, cmin)
         return out
 
-    layers = jax.vmap(convert_layer)(baked_params["layers"], baked_fq)
+    layers = jax.vmap(convert_layer)(baked_params["layers"], baked_fq, eval_layers)
     head = baked_params.get("lm_head", baked_params["embed"])
     return {
         "embed": baked_params["embed"].astype(dtype),

@@ -63,6 +63,8 @@ def parser_gen():
     p.add_argument("--gptq", action="store_true", help="GPTQ instead of RTN")
     p.add_argument("--act_order", action="store_true")
     p.add_argument("--percdamp", type=float, default=0.01)
+    p.add_argument("--gptq_mse", action="store_true",
+                   help="MSE grid search for weight clip (quant_utils.py:177-202)")
     # artifacts / resume
     p.add_argument("--output_dir", default="./outputs")
     p.add_argument("--exp_name", default="exp")
@@ -122,6 +124,7 @@ def main(argv=None):
         epochs=args.epochs, nsamples=args.nsamples, cali_bsz=args.cali_bsz,
         flat_lr=args.flat_lr, warmup=args.warmup, deactive_amp=args.deactive_amp,
         gptq=args.gptq, gptq_percdamp=args.percdamp, gptq_act_order=args.act_order,
+        gptq_mse=args.gptq_mse,
     )
 
     exp_dir = os.path.join(
@@ -233,7 +236,8 @@ def main(argv=None):
         if args.quantized_save:
             from flatquant_tpu.serving.quantized import build_serving_params
 
-            sp = build_serving_params(cfg, fq_cfg, baked_params, baked_fq)
+            sp = build_serving_params(cfg, fq_cfg, baked_params, baked_fq,
+                                      eval_params=eval_params)
             path = ckpt.save_packed_safetensors(
                 exp_dir, sp,
                 quantization_config={
@@ -277,7 +281,8 @@ def main(argv=None):
         from flatquant_tpu.serving.engine import generate
         from flatquant_tpu.serving.quantized import build_serving_params
 
-        sp = build_serving_params(cfg, fq_cfg, baked_params, baked_fq)
+        sp = build_serving_params(cfg, fq_cfg, baked_params, baked_fq,
+                                  eval_params=eval_params)
         prompt = data.test[:, :16].astype(np.int32)
         toks = generate(cfg, fq_cfg, sp, prompt, max_new_tokens=args.generate_demo,
                         max_len=64, use_kernel=jax.default_backend() == "tpu")

@@ -84,3 +84,40 @@ def test_gptq_model_end_to_end():
     assert bool(jnp.isfinite(logits).all())
     # weights actually changed from the baked fp values
     assert float(jnp.abs(gptq_params["layers"]["wq"] - baked_params["layers"]["wq"]).max()) > 0
+
+
+def test_serving_export_threads_gptq_weights(rng):
+    """--quantized_save with --gptq must pack the GPTQ error-feedback codes,
+    not re-RTN the baked weights (ADVICE r1 medium). The packed export must
+    reconstruct eval_params' weights exactly (they lie on the scale grid)."""
+    from flatquant_tpu.kernels.int4_matmul import unpack_weight_planar
+    from flatquant_tpu.quantize.state import slice_layer
+    from flatquant_tpu.serving.quantized import build_serving_params
+
+    cfg = get_config("tiny-llama")
+    params = init_params(cfg, seed=0)
+    fq_cfg = W4A4KV4
+    fq = init_model_fq(cfg, fq_cfg, seed=0)
+    baked_params, baked_fq = bake_model(cfg, fq_cfg, params, fq)
+    data = get_loaders("synthetic", cfg.vocab_size, nsamples=4, seqlen=32)
+    eval_params = gptq_model(cfg, fq_cfg, baked_params, baked_fq, data.train,
+                             log=lambda *a: None)
+
+    sp = build_serving_params(cfg, fq_cfg, baked_params, baked_fq,
+                              eval_params=eval_params)
+    sp_rtn = build_serving_params(cfg, fq_cfg, baked_params, baked_fq)
+
+    any_diff = False
+    for li in range(cfg.num_layers):
+        elp = slice_layer(eval_params["layers"], li)
+        for name, key in (("q", "wq"), ("down", "wdown")):
+            lin = jax.tree.map(lambda t: t[li], sp["layers"][name])
+            w_rec = unpack_weight_planar(lin["wp"]).astype(jnp.float32) \
+                * lin["scale"][:, None]
+            np.testing.assert_allclose(
+                np.asarray(w_rec), np.asarray(elp[key], np.float32),
+                atol=1e-5, rtol=0,
+            )
+            rtn_wp = sp_rtn["layers"][name]["wp"][li]
+            any_diff |= bool(jnp.any(lin["wp"] != rtn_wp))
+    assert any_diff, "GPTQ codes never differed from RTN — threading is dead"

@@ -101,3 +101,32 @@ def test_decode_kernel_v3_matches_ref(rng, shape):
     np.testing.assert_allclose(
         np.asarray(out, np.float32), np.asarray(ref, np.float32), atol=5e-3
     )
+
+
+def test_decode_valid_len_zero_no_nan(rng):
+    """valid_len == 0 rows must produce finite (zero) output, not NaN
+    (every score masked -> m stays -inf without the clamp)."""
+    from flatquant_tpu.kernels.kv_cache import (
+        decode_attention_int4_v3,
+        decode_attention_int4_wide,
+    )
+
+    B, S, nkv, nh, hd = 2, 128, 2, 4, 64
+    q, (kp, ks, kz), (vp, vs, vz) = _mk(rng, B, S, nkv, nh, hd)
+    valid = jnp.asarray([0, S // 2], jnp.int32)
+    kparam = jnp.concatenate([ks, kz], -1)
+    vparam = jnp.concatenate([vs, vz], -1)
+
+    ref = decode_attention_ref(q, kp, ks, kz, vp, vs, vz, valid, 0.125)
+    assert bool(jnp.isfinite(ref.astype(jnp.float32)).all())
+    assert float(jnp.abs(ref[0].astype(jnp.float32)).max()) == 0.0
+
+    for fn in (decode_attention_int4, decode_attention_int4_wide,
+               decode_attention_int4_v3):
+        out = fn(q, kp, kparam, vp, vparam, valid, 0.125, interpret=True)
+        assert bool(jnp.isfinite(out.astype(jnp.float32)).all()), fn.__name__
+        assert float(jnp.abs(out[0].astype(jnp.float32)).max()) == 0.0, fn.__name__
+        np.testing.assert_allclose(
+            np.asarray(out[1], np.float32), np.asarray(ref[1], np.float32),
+            atol=2e-2, rtol=0,
+        )

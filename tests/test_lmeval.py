@@ -52,3 +52,25 @@ def test_loglikelihood_prefers_likely_continuation():
     )
     assert res[0][0] > res[1][0]
     assert res[0][1] is True  # greedy flag for the argmax continuation
+
+
+def test_loglikelihood_empty_context():
+    """lm-eval can issue empty-context requests; a BOS-like token is
+    prepended so logits are never sliced with a negative start index."""
+    cfg = get_config("tiny-llama")
+    params = init_params(cfg, seed=0)
+    rng = np.random.default_rng(2)
+    cont = rng.integers(0, cfg.vocab_size, 3).tolist()
+
+    res = batched_loglikelihood(
+        cfg, params, None, None, "fp", [([], cont)], batch_size=1,
+        max_len=8, compute_dtype=jnp.float32,
+    )
+    ll, greedy = res[0]
+    # must equal scoring cont behind an explicit token-0 context
+    want = batched_loglikelihood(
+        cfg, params, None, None, "fp", [([0], cont)], batch_size=1,
+        max_len=8, compute_dtype=jnp.float32,
+    )[0][0]
+    np.testing.assert_allclose(ll, want, rtol=1e-5, atol=1e-5)
+    assert np.isfinite(ll)
