@@ -48,8 +48,11 @@ def _iter_safetensors(path: str):
                 yield name, sf.get_tensor(name)
 
 
-def load_hf_llama(path: str, cfg: LlamaConfig, dtype=jnp.float32) -> dict:
-    """Load an HF Llama/Qwen2 checkpoint directory into stacked params."""
+def params_from_named_tensors(items, cfg: LlamaConfig, dtype=jnp.float32) -> dict:
+    """(name, array) pairs with HF Llama/Qwen key names -> stacked params.
+
+    Shared by the safetensors loader and the torch-state-dict converter
+    (utils.reference_convert)."""
     L = cfg.num_layers
     staged: Dict[str, list] = {}
     top: Dict[str, np.ndarray] = {}
@@ -59,7 +62,7 @@ def load_hf_llama(path: str, cfg: LlamaConfig, dtype=jnp.float32) -> dict:
             staged[key] = [None] * L
         staged[key][idx] = val
 
-    for name, tensor in _iter_safetensors(path):
+    for name, tensor in items:
         if name == "model.embed_tokens.weight":
             top["embed"] = tensor
         elif name == "model.norm.weight":
@@ -90,6 +93,11 @@ def load_hf_llama(path: str, cfg: LlamaConfig, dtype=jnp.float32) -> dict:
     elif not cfg.tie_embeddings:
         raise ValueError("checkpoint has no lm_head but config is untied")
     return params
+
+
+def load_hf_llama(path: str, cfg: LlamaConfig, dtype=jnp.float32) -> dict:
+    """Load an HF Llama/Qwen2 checkpoint directory into stacked params."""
+    return params_from_named_tensors(_iter_safetensors(path), cfg, dtype)
 
 
 def config_from_hf_json(path: str, name: str = "custom") -> LlamaConfig:

@@ -208,11 +208,25 @@ def main(argv=None):
     if quantize:
         fq_state = init_model_fq(cfg, fq_cfg, seed=args.seed)
         if args.reload_matrix:
-            baked_fq = ckpt.load_flat_matrices(args.matrix_path or exp_dir, None)
-            raise NotImplementedError(
-                "reload_matrix requires a baked template; use --resume for now"
+            # reference-zoo .pth (flat_utils.py:65-93 schema) or our own
+            # msgpack matrices artifact; either way: load eval matrices,
+            # then bake fresh fp weights against them (main.py:30-38 analog)
+            from flatquant_tpu.utils.reference_convert import (
+                fq_from_flat_matrices,
+                load_reference_flat_matrices,
+                matrices_fq_template,
             )
-        if args.resume and os.path.exists(os.path.join(exp_dir, "flat_parameters.msgpack")):
+
+            src = args.matrix_path or exp_dir
+            pth = src if src.endswith(".pth") else os.path.join(src, "flat_matrices.pth")
+            if os.path.exists(pth):
+                fq_state = fq_from_flat_matrices(load_reference_flat_matrices(pth), cfg)
+                log.info(f"reloaded reference flat_matrices from {pth}")
+            else:
+                template = matrices_fq_template(cfg, fq_cfg, seed=args.seed)
+                fq_state = ckpt.load_flat_matrices(src, template)
+                log.info(f"reloaded flat_matrices from {src}")
+        elif args.resume and os.path.exists(os.path.join(exp_dir, "flat_parameters.msgpack")):
             fq_state = ckpt.load_flat_parameters(exp_dir, fq_state)
             log.info("resumed flat_parameters")
         elif fq_cfg.cali_trans or fq_cfg.lwc or fq_cfg.lac or fq_cfg.add_diag:
@@ -223,7 +237,11 @@ def main(argv=None):
             )
         baked_params, baked_fq = bake_model(cfg, fq_cfg, params, fq_state)
         if args.save_matrix:
-            ckpt.save_flat_matrices(exp_dir, baked_fq)
+            # pre-fold form (diag scales intact): reloadable onto raw
+            # weights, like the reference's save-before-reparameterize order
+            from flatquant_tpu.utils.reference_convert import matrices_state
+
+            ckpt.save_flat_matrices(exp_dir, matrices_state(fq_state))
             log.info("saved flat_matrices")
         if args.gptq:
             eval_params = gptq_model(

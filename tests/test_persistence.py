@@ -140,3 +140,46 @@ def test_packed_export_reload_serves_identically(tmp_path):
                             init_cache(cfg, 1, 16, dtype=jnp.float32),
                             use_kernel=False, max_len=16, compute_dtype=jnp.float32)
     np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+
+
+def test_save_reload_matrices_roundtrip():
+    """--save_matrix writes the pre-fold matrices form; --reload_matrix
+    loads it onto raw weights and re-bakes to the identical eval model."""
+    import tempfile
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from flatquant_tpu.models.config import get_config
+    from flatquant_tpu.models.llama import init_params, llama_forward
+    from flatquant_tpu.quantize.bake import bake_model
+    from flatquant_tpu.quantize.spec import W4A4KV4
+    from flatquant_tpu.quantize.state import init_model_fq
+    from flatquant_tpu.utils import checkpoint as ckpt
+    from flatquant_tpu.utils.reference_convert import (
+        matrices_fq_template,
+        matrices_state,
+    )
+
+    cfg = get_config("tiny-llama")
+    params = init_params(cfg, seed=0)
+    fq_cfg = W4A4KV4
+    fq = init_model_fq(cfg, fq_cfg, seed=3)
+
+    baked_params, baked_fq = bake_model(cfg, fq_cfg, params, fq)
+    rng = np.random.default_rng(0)
+    toks = jnp.asarray(rng.integers(0, cfg.vocab_size, (1, 8)))
+    want = llama_forward(cfg, baked_params, toks, fq=baked_fq, fq_cfg=fq_cfg,
+                         mode="eval", compute_dtype=jnp.float32)
+
+    with tempfile.TemporaryDirectory() as d:
+        ckpt.save_flat_matrices(d, matrices_state(fq))
+        template = matrices_fq_template(cfg, fq_cfg, seed=99)
+        loaded = ckpt.load_flat_matrices(d, template)
+
+    baked2_params, baked2_fq = bake_model(cfg, fq_cfg, params, loaded)
+    got = llama_forward(cfg, baked2_params, toks, fq=baked2_fq, fq_cfg=fq_cfg,
+                        mode="eval", compute_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=0)

@@ -1,0 +1,423 @@
+"""Cross-framework golden parity vs the reference PyTorch FlatQuant.
+
+Imports the reference's OWN modules from /root/reference (quant_utils,
+trans_utils, flat_linear, flat_utils, model_tools.llama31_utils,
+gptq_utils) and asserts that flatquant_tpu reproduces their math
+logit-for-logit on a tiny fp32 Llama with identical random weights:
+
+  1. quantizer micro-parity: ActivationQuantizer / WeightQuantizer
+     (sym, asym, LAC, MSE grid) vs core.quant
+  2. eval-forward parity: reference apply_flatquant -> save_flat_matrices ->
+     reparameterize_model -> forward  ==  our fq_from_flat_matrices ->
+     bake_model -> llama_forward(mode="eval")   [tests the converter too]
+  3. calib-forward parity: reference rep_matrix_only (frozen transforms,
+     linears still in train mode)  ==  our mode="calib" on raw weights
+  4. RTN pass parity: reference rtn_fwrd  ==  our rtn_quantize_params
+  5. GPTQ parity: reference GPTQ.fasterquant  ==  our gptq_quantize_weight
+     on an identical Hessian (>=99% identical int codes)
+
+The reference adapters target an older transformers API; the small shims
+below (no-op .cuda(), num_heads attrs, manual decoder-layer driver) only
+re-wire module plumbing — every FlatQuant math op runs reference code.
+"""
+
+from __future__ import annotations
+
+import copy
+import sys
+import types
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+
+REF_PATH = "/root/reference"
+if REF_PATH not in sys.path:
+    sys.path.insert(0, REF_PATH)
+
+# reference modules assume a CUDA device exists; run them on CPU
+torch.Tensor.cuda = lambda self, *a, **k: self  # noqa: E731
+torch.nn.Module.cuda = lambda self, *a, **k: self  # noqa: E731
+
+flatquant_ref = pytest.importorskip("flatquant.quant_utils")
+from flatquant import flat_utils as ref_flat_utils  # noqa: E402
+from flatquant import quant_utils as ref_quant_utils  # noqa: E402
+from flatquant.model_tools import llama31_utils as ref_llama  # noqa: E402
+import gptq_utils as ref_gptq_utils  # noqa: E402
+
+from transformers import LlamaConfig as HFLlamaConfig  # noqa: E402
+from transformers import LlamaForCausalLM  # noqa: E402
+
+from flatquant_tpu.core.quant import (  # noqa: E402
+    ActQuantCfg,
+    WeightQuantCfg,
+    act_fake_quant,
+    weight_fake_quant,
+    weight_find_params,
+)
+from flatquant_tpu.models.config import LlamaConfig  # noqa: E402
+from flatquant_tpu.models.llama import llama_forward  # noqa: E402
+from flatquant_tpu.quantize.bake import bake_model, rtn_quantize_params  # noqa: E402
+from flatquant_tpu.quantize.spec import FQConfig  # noqa: E402
+from flatquant_tpu.utils.reference_convert import (  # noqa: E402
+    fq_from_flat_matrices,
+    params_from_torch_state_dict,
+)
+
+
+# ---------------------------------------------------------------------------
+# shared tiny-model setup
+# ---------------------------------------------------------------------------
+
+HID, INTER, HEADS, KV_HEADS, LAYERS, VOCAB = 64, 96, 4, 2, 2, 128
+SEQ, BSZ = 8, 2
+
+
+def _ref_args(**over):
+    base = dict(
+        w_bits=4, a_bits=4, q_bits=16, k_bits=4, v_bits=4,
+        w_asym=False, a_asym=False, q_asym=False, k_asym=False, v_asym=False,
+        a_groupsize=-1, w_groupsize=-1, k_groupsize=-1, v_groupsize=-1,
+        lwc=True, lac=True, add_diag=True, direct_inv=True,
+        separate_vtrans=False, diag_init="one_style", diag_alpha=0.3,
+        gptq_mse=False,
+    )
+    base.update(over)
+    return types.SimpleNamespace(**base)
+
+
+def _fq_cfg(a) -> FQConfig:
+    return FQConfig(
+        w_bits=a.w_bits, a_bits=a.a_bits, q_bits=a.q_bits, k_bits=a.k_bits,
+        v_bits=a.v_bits, w_asym=a.w_asym, a_asym=a.a_asym, q_asym=a.q_asym,
+        k_asym=a.k_asym, v_asym=a.v_asym, w_groupsize=a.w_groupsize,
+        a_groupsize=a.a_groupsize, k_groupsize=a.k_groupsize,
+        v_groupsize=a.v_groupsize, cali_trans=True, add_diag=a.add_diag,
+        lwc=a.lwc, lac=a.lac, direct_inv=a.direct_inv,
+        separate_vtrans=a.separate_vtrans,
+    )
+
+
+def _build_hf_model(seed=0):
+    torch.manual_seed(seed)
+    np.random.seed(seed)
+    cfg = HFLlamaConfig(
+        hidden_size=HID, intermediate_size=INTER, num_hidden_layers=LAYERS,
+        num_attention_heads=HEADS, num_key_value_heads=KV_HEADS,
+        vocab_size=VOCAB, max_position_embeddings=256, tie_word_embeddings=False,
+        attn_implementation="eager",
+    )
+    model = LlamaForCausalLM(cfg).eval()
+    # give weights a bit more spread than HF's 0.02 init so int4 grids are
+    # non-trivial
+    with torch.no_grad():
+        for p in model.parameters():
+            p.mul_(2.0)
+    return model
+
+
+def _apply_reference_flatquant(model, args, seed=1):
+    m2 = ref_llama.apply_flatquant_to_llama_31(args, model)
+    # transformers >= 4.48 removed these attrs from LlamaAttention; the
+    # reference forward (written for the older API) reads them
+    for layer in m2.model.layers:
+        sa = layer.self_attn
+        sa.num_heads = m2.config.num_attention_heads
+        sa.num_key_value_heads = m2.config.num_key_value_heads
+        sa.num_key_value_groups = HEADS // KV_HEADS
+        sa.hidden_size = m2.config.hidden_size
+    # randomize clip factors / diag scales away from their inits so the
+    # parity check exercises them
+    gen = torch.Generator().manual_seed(seed)
+    with torch.no_grad():
+        for name, p in m2.named_parameters():
+            if "clip_factor" in name:
+                p.copy_(torch.rand(p.shape, generator=gen) * 3.0 + 1.0)
+            elif name.endswith("diag_scale"):
+                p.copy_(torch.rand(p.shape, generator=gen) * 1.5 + 0.5)
+    return m2
+
+
+def _ref_forward(m2, toks):
+    """Drive the reference adapter layers manually (the HF top-level forward
+    of this transformers version no longer matches the adapter signature).
+    Mirrors LlamaModel: embed -> [ln -> attn -> res; ln -> mlp -> res] ->
+    norm -> head. All FlatQuant math runs inside reference modules."""
+    mm = m2.model
+    with torch.no_grad():
+        x = mm.embed_tokens(toks)
+        B, S, _ = x.shape
+        pos = torch.arange(S)[None]
+        cos_sin = mm.rotary_emb(x, pos)
+        mask = torch.triu(torch.full((1, 1, S, S), -1e9), diagonal=1)
+        for layer in mm.layers:
+            res = x
+            h = layer.input_layernorm(x)
+            attn_out, _, _ = layer.self_attn(
+                h, mask, pos, None, False, False,
+                cache_position=None, position_embeddings=cos_sin,
+            )
+            x = res + attn_out
+            res = x
+            h = layer.post_attention_layernorm(x)
+            x = res + layer.mlp(h)
+        x = mm.norm(x)
+        return m2.lm_head(x).float().numpy()
+
+
+def _our_cfg():
+    return LlamaConfig(
+        name="parity", vocab_size=VOCAB, hidden_size=HID,
+        intermediate_size=INTER, num_layers=LAYERS, num_heads=HEADS,
+        num_kv_heads=KV_HEADS, head_dim=HID // HEADS,
+        rms_eps=1e-6,  # HF LlamaConfig default
+    )
+
+
+def _assert_logits_close(ours, theirs, atol=2e-4, frac_tol=0.0, max_atol=2e-2):
+    """fp32 cross-framework comparison. Reduction-order differences are
+    ~1e-6 but can flip an int4 rounding cliff on untrained random weights;
+    allow a tiny fraction of entries to exceed atol, bounded by max_atol."""
+    diff = np.abs(ours - theirs)
+    frac_bad = float(np.mean(diff > atol))
+    assert frac_bad <= frac_tol + 1e-12 or diff.max() <= max_atol, (
+        f"max diff {diff.max():.3e}, frac>|{atol}| = {frac_bad:.4f}"
+    )
+    assert float(np.median(diff)) < atol
+
+
+# ---------------------------------------------------------------------------
+# 1. quantizer micro-parity
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("sym,lac", [(True, False), (False, False), (True, True)])
+def test_act_quantizer_parity(sym, lac):
+    torch.manual_seed(0)
+    x = torch.randn(6, 32) * 3.0
+    q = ref_quant_utils.ActivationQuantizer(bits=4, sym=sym, lac=lac)
+    if lac:
+        with torch.no_grad():
+            q.clip_factor_a_max.fill_(1.5)
+            q.clip_factor_a_min.fill_(2.5)
+    with torch.no_grad():
+        ref = q(x).numpy()
+
+    cfg = ActQuantCfg(bits=4, sym=sym, lac=lac)
+    cmax = jnp.asarray([1.5]) if lac else None
+    cmin = jnp.asarray([2.5]) if lac else None
+    ours = np.asarray(act_fake_quant(jnp.asarray(x.numpy()), cfg, cmax, cmin))
+    np.testing.assert_allclose(ours, ref, atol=1e-6, rtol=0)
+
+
+@pytest.mark.parametrize("sym,mse", [(True, False), (False, False),
+                                     (True, True), (False, True)])
+def test_weight_quantizer_parity(sym, mse):
+    torch.manual_seed(1)
+    w = torch.randn(16, 48) * 2.0
+    wq_ref = ref_quant_utils.WeightQuantizer()
+    wq_ref.configure(4, perchannel=True, sym=sym, mse=mse)
+    wq_ref.find_params(w)
+    with torch.no_grad():
+        ref = wq_ref(w).numpy()
+
+    cfg = WeightQuantCfg(bits=4, sym=sym, perchannel=True, mse=mse)
+    wj = jnp.asarray(w.numpy())
+    scale, zero = weight_find_params(wj, cfg)
+    np.testing.assert_allclose(
+        np.asarray(scale)[:, 0], wq_ref.scale.numpy()[:, 0], atol=1e-6, rtol=1e-6
+    )
+    ours = np.asarray(weight_fake_quant(wj, scale, zero, cfg))
+    np.testing.assert_allclose(ours, ref, atol=1e-6, rtol=0)
+
+
+# ---------------------------------------------------------------------------
+# 2/3/4. model-level parity
+# ---------------------------------------------------------------------------
+
+
+def _setup_models(tmp_path, args):
+    model = _build_hf_model(seed=0)
+    sd0 = {k: v.clone() for k, v in model.state_dict().items()}
+    m2 = _apply_reference_flatquant(model, args)
+
+    # reference checkpoint (save BEFORE reparameterize, main.py:36-38 order)
+    args.exp_dir = str(tmp_path)
+    ref_flat_utils.save_flat_matrices(args, m2)
+    matrices = torch.load(tmp_path / "flat_matrices.pth", weights_only=False)
+
+    cfg = _our_cfg()
+    fq_cfg = _fq_cfg(args)
+    params = params_from_torch_state_dict(sd0, cfg)
+    mat_fq = fq_from_flat_matrices(matrices, cfg)
+    return m2, cfg, fq_cfg, params, mat_fq
+
+
+@pytest.mark.parametrize("variant", ["w4a4kv4_lwc_lac_diag", "asym", "kv_only"])
+def test_eval_forward_parity(tmp_path, variant):
+    over = {}
+    if variant == "asym":
+        over = dict(w_asym=True, a_asym=True, k_asym=True, v_asym=True)
+    elif variant == "kv_only":
+        over = dict(w_bits=16, a_bits=16, lwc=False, add_diag=False)
+    args = _ref_args(**over)
+    m2, cfg, fq_cfg, params, mat_fq = _setup_models(tmp_path, args)
+
+    ref_flat_utils.reparameterize_model(m2)
+    rng = np.random.default_rng(3)
+    toks = rng.integers(0, VOCAB, (BSZ, SEQ))
+    ref_logits = _ref_forward(m2, torch.from_numpy(toks))
+
+    baked_params, baked_fq = bake_model(cfg, fq_cfg, params, mat_fq)
+    ours = np.asarray(llama_forward(
+        cfg, baked_params, jnp.asarray(toks), fq=baked_fq, fq_cfg=fq_cfg,
+        mode="eval", compute_dtype=jnp.float32,
+    ))
+    _assert_logits_close(ours, ref_logits, frac_tol=0.002)
+
+
+def test_calib_forward_parity(tmp_path):
+    """Train-mode forward (find_params every step, LWC clamp, online
+    transforms) with frozen transform matrices on both sides."""
+    args = _ref_args()
+    m2, cfg, fq_cfg, params, mat_fq = _setup_models(tmp_path, args)
+
+    # freeze transforms but keep linears in train mode (rep_matrix_only)
+    for layer in m2.model.layers:
+        layer.self_attn.rep_matrix_only()
+        layer.mlp.rep_matrix_only()
+    rng = np.random.default_rng(4)
+    toks = rng.integers(0, VOCAB, (BSZ, SEQ))
+    ref_logits = _ref_forward(m2, torch.from_numpy(toks))
+
+    ours = np.asarray(llama_forward(
+        cfg, params, jnp.asarray(toks), fq=mat_fq, fq_cfg=fq_cfg,
+        mode="calib", compute_dtype=jnp.float32,
+    ))
+    _assert_logits_close(ours, ref_logits, frac_tol=0.002)
+
+
+def test_rtn_pass_parity(tmp_path):
+    """reparameterize -> RTN weight quant -> eval forward, both frameworks."""
+    args = _ref_args()
+    m2, cfg, fq_cfg, params, mat_fq = _setup_models(tmp_path, args)
+
+    ref_flat_utils.reparameterize_model(m2)
+    # reference rtn_fwrd quantizes every FlatQuantizedLinear's .linear
+    qlayers = ref_gptq_utils.find_qlayers(
+        m2, layers=[ref_llama.FlatQuantizedLinear]
+    )
+    for _, fql in qlayers.items():
+        quantizer = ref_quant_utils.WeightQuantizer()
+        quantizer.configure(args.w_bits, perchannel=True, sym=not args.w_asym,
+                            mse=False)
+        w = fql.linear.weight.data
+        quantizer.find_params(w)
+        with torch.no_grad():
+            fql.linear.weight.data = quantizer.quantize(w)
+    rng = np.random.default_rng(5)
+    toks = rng.integers(0, VOCAB, (BSZ, SEQ))
+    ref_logits = _ref_forward(m2, torch.from_numpy(toks))
+
+    baked_params, baked_fq = bake_model(cfg, fq_cfg, params, mat_fq)
+    eval_params = rtn_quantize_params(fq_cfg, baked_params)
+    ours = np.asarray(llama_forward(
+        cfg, eval_params, jnp.asarray(toks), fq=baked_fq, fq_cfg=fq_cfg,
+        mode="eval", compute_dtype=jnp.float32,
+    ))
+    _assert_logits_close(ours, ref_logits, frac_tol=0.002)
+
+
+# ---------------------------------------------------------------------------
+# 5. GPTQ parity
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("act_order", [False, True])
+def test_gptq_parity(act_order):
+    from flatquant_tpu.calib.gptq import gptq_quantize_weight
+
+    torch.manual_seed(7)
+    out_dim, n, N = 24, 64, 256
+    x = torch.randn(N, n) @ (torch.randn(n, n) * 0.3) + 0.05 * torch.randn(N, n)
+    w = torch.randn(out_dim, n)
+    H = 2.0 * x.T @ x
+
+    linear = torch.nn.Linear(n, out_dim, bias=False)
+    with torch.no_grad():
+        linear.weight.copy_(w)
+    g = ref_gptq_utils.GPTQ(linear)
+    g.quantizer = ref_quant_utils.WeightQuantizer()
+    g.quantizer.configure(4, perchannel=True, sym=True, mse=False)
+    g.H = H.clone()
+    torch.cuda.synchronize = lambda *a, **k: None  # CPU shim
+    g.fasterquant(percdamp=0.01, groupsize=-1, actorder=act_order)
+    ref_q = linear.weight.data.numpy()
+
+    cfg = WeightQuantCfg(bits=4, sym=True, perchannel=True)
+    ours = np.asarray(gptq_quantize_weight(
+        jnp.asarray(w.numpy()), jnp.asarray(H.numpy()), cfg,
+        percdamp=0.01, act_order=act_order,
+    ))
+
+    # different (mathematically equivalent) cholesky-inverse routes give
+    # ~1e-6 Hinv differences that can flip isolated rounding decisions;
+    # require (near-)identical codes on the shared per-channel grid
+    scale = np.asarray(weight_find_params(jnp.asarray(w.numpy()), cfg)[0])
+    codes_ours = np.round(ours / scale)
+    codes_ref = np.round(ref_q / scale)
+    match = float(np.mean(codes_ours == codes_ref))
+    assert match >= 0.99, f"GPTQ code agreement only {match:.4f}"
+
+
+# ---------------------------------------------------------------------------
+# 0. fp baseline parity (sanity anchor: catches rope/norm/mask drift)
+# ---------------------------------------------------------------------------
+
+
+def test_fp_forward_matches_hf():
+    model = _build_hf_model(seed=0)
+    cfg = _our_cfg()
+    params = params_from_torch_state_dict(model.state_dict(), cfg)
+    rng = np.random.default_rng(3)
+    toks = rng.integers(0, VOCAB, (BSZ, SEQ))
+    with torch.no_grad():
+        ref = model(torch.from_numpy(toks)).logits.numpy()
+    ours = np.asarray(llama_forward(cfg, params, jnp.asarray(toks),
+                                    compute_dtype=jnp.float32))
+    np.testing.assert_allclose(ours, ref, atol=1e-4, rtol=0)
+
+
+# ---------------------------------------------------------------------------
+# 6. reference-zoo .pth reload through the CLI converter path
+# ---------------------------------------------------------------------------
+
+
+def test_reload_reference_pth_roundtrip(tmp_path):
+    """A reference flat_matrices.pth (written by reference save code with
+    reference key names) reloads through fq_from_flat_matrices + bake and
+    reproduces the reference eval model."""
+    args = _ref_args()
+    m2, cfg, fq_cfg, params, _ = _setup_models(tmp_path, args)
+
+    # re-load from the .pth instead of the in-memory object
+    from flatquant_tpu.utils.reference_convert import load_reference_flat_matrices
+
+    mats = load_reference_flat_matrices(str(tmp_path / "flat_matrices.pth"))
+    mat_fq = fq_from_flat_matrices(mats, cfg)
+
+    ref_flat_utils.reparameterize_model(m2)
+    rng = np.random.default_rng(9)
+    toks = rng.integers(0, VOCAB, (BSZ, SEQ))
+    ref_logits = _ref_forward(m2, torch.from_numpy(toks))
+
+    baked_params, baked_fq = bake_model(cfg, fq_cfg, params, mat_fq)
+    ours = np.asarray(llama_forward(
+        cfg, baked_params, jnp.asarray(toks), fq=baked_fq, fq_cfg=fq_cfg,
+        mode="eval", compute_dtype=jnp.float32,
+    ))
+    _assert_logits_close(ours, ref_logits, frac_tol=0.002)
