@@ -25,7 +25,7 @@ def test_hadamard_constructions(k):
 
 def test_get_hadK_model_dims():
     for n, expect_had in ((4096, True), (14336, True), (28672, True),
-                          (13824, True), (5120, True), (11008, False)):
+                          (13824, True), (5120, True), (11008, True)):
         mat, k, is_had = get_hadK(n)
         assert is_had == expect_had, n
 
@@ -97,3 +97,28 @@ def test_quarot_serving_baseline():
     fp = llama_forward(cfg, params, jnp.asarray(toks), compute_dtype=jnp.float32)[:, -1]
     corr = np.corrcoef(np.asarray(logits).ravel(), np.asarray(fp).ravel())[0, 1]
     assert corr > 0.95, corr
+
+
+def test_all_reference_orders_are_true_hadamard():
+    """Every non-pow2 order the reference hardcodes (hadamard_utils.py
+    get_had12..get_had172) must be a true +-1 Hadamard here too — via
+    Paley over prime-power fields (28 from GF(27), 52 from GF(25)) or the
+    imported Williamson-type tables (156, 172)."""
+    from flatquant_tpu.core.hadamard import hadamard_matrix
+
+    for k in (12, 20, 28, 36, 40, 44, 52, 60, 108, 140, 156, 172):
+        h, is_had = hadamard_matrix(k)
+        assert is_had, f"order {k} fell back to random orthogonal"
+        assert np.all(np.abs(h) == 1.0), k
+        assert np.array_equal(h @ h.T, k * np.eye(k)), k
+
+
+def test_flagship_model_dims_factor_to_hadamard():
+    """QuaRot baseline fidelity: the paper's model dims must factor onto
+    true Hadamard transforms (VERDICT r1: 11008 -> 172 previously fell
+    back to random orthogonal)."""
+    from flatquant_tpu.core.hadamard import get_hadK
+
+    for n in (4096, 11008, 13824, 14336, 5120, 8192, 28672):
+        _, k, is_had = get_hadK(n)
+        assert is_had, (n, k)
