@@ -182,3 +182,86 @@ def w4a8_matmul_ref(x_q, x_scale, w_packed, w_scale, out_dtype=jnp.bfloat16):
     )
     out = acc * x_scale.reshape(-1, 1) * w_scale.reshape(1, -1)
     return out.astype(out_dtype)
+
+
+# ---------------------------------------------------------------------------
+# int8-MXU variant (prefill / compute-bound shapes)
+#
+# v5e's int8 MXU path runs at 2x the bf16 rate (measured on this chip:
+# 188 vs 94 TFLOPs for a 2048x4096x4096 dot_general) — the TPU analog of
+# the reference's CUTLASS int4b_t tensor-core GEMM rate advantage
+# (deploy/kernels/gemm.cu:16-26, REALQUANT.md prefill 1.98-2.06x).
+# Round 1 assumed int8 == bf16 MXU; that was wrong (the earlier kernel fed
+# bf16 operands, so it could never observe the int8 rate).
+#
+# The unpack stays int32 register arithmetic (Mosaic cannot legalize i8
+# vector sub/shift) but the final operands convert int32 -> int8 and the
+# MXU accumulates in int32: sum_k x*(nib-8) = x.nib - 8*rowsum(x), exact
+# for K < 2^23.  Bit-identical to the bf16-code kernel by construction.
+# ---------------------------------------------------------------------------
+
+
+def _w4a4_i8_kernel(x_ref, wp_ref, sx_ref, sw_ref, o_ref, *, out_dtype):
+    wp = wp_ref[:].astype(jnp.int32)
+    nib = jnp.concatenate([wp & 0xF, wp >> 4], axis=1).astype(jnp.int8)  # [TN, K]
+    x = x_ref[:]  # int8 codes in [-8, 7]
+    acc = jax.lax.dot_general(
+        x, nib, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32
+    )  # [TM, TN] int32, exact
+    x_rowsum = jnp.sum(x_ref[:].astype(jnp.int32), axis=1, keepdims=True)
+    out = (acc - 8 * x_rowsum).astype(jnp.float32) * sx_ref[:] * sw_ref[:]
+    o_ref[:] = out.astype(out_dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("out_dtype", "block_m", "block_n", "interpret")
+)
+def w4a4_matmul_i8(
+    x_q,
+    x_scale,
+    w_packed,
+    w_scale,
+    out_dtype=jnp.bfloat16,
+    block_m: int = 256,
+    block_n: int = 512,
+    interpret: bool = False,
+):
+    """y[M, N] = dequant( x_q[M, K] @ unpack(w_packed)[N, K]^T ), int8 MXU.
+
+    x_q: int8 codes on the int4 grid, x_scale [M, 1] fp32,
+    w_packed [N, K/2] uint8 planar biased nibbles, w_scale [N] fp32.
+    """
+    m, k = x_q.shape
+    n = w_packed.shape[0]
+    assert x_q.dtype == jnp.int8
+    assert w_packed.shape[1] * 2 == k
+    bm = min(block_m, m)
+    bn = min(block_n, n)
+    grid = (pl.cdiv(m, bm), pl.cdiv(n, bn))
+    sw = w_scale.reshape(1, n).astype(jnp.float32)
+    sx = x_scale.reshape(m, 1).astype(jnp.float32)
+
+    return pl.pallas_call(
+        functools.partial(_w4a4_i8_kernel, out_dtype=out_dtype),
+        out_shape=jax.ShapeDtypeStruct((m, n), out_dtype),
+        grid_spec=pl.GridSpec(
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((bm, k), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec(
+                    (bn, k // 2), lambda i, j: (j, 0), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec((bm, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (bm, bn), lambda i, j: (i, j), memory_space=pltpu.VMEM
+            ),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m * n * k,
+            bytes_accessed=m * k + n * k // 2 + m * n * jnp.dtype(out_dtype).itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x_q, w_packed, sx, sw)

@@ -78,3 +78,23 @@ def test_w4a8_matches_fake_quant_semantics(rng):
     y_real = w4a8_matmul_ref(xq, xs, wp, s[:, 0], jnp.float32)
 
     np.testing.assert_allclose(np.asarray(y_real), np.asarray(y_fake), atol=2e-5)
+
+
+@pytest.mark.parametrize("shape", [(8, 256, 384), (64, 512, 256), (17, 128, 128)])
+def test_w4a4_i8_kernel_exact_vs_ref(rng, shape):
+    """int8-MXU kernel (prefill rate path) is bit-identical to the bf16-code
+    reference: both accumulate the exact same integers."""
+    from flatquant_tpu.kernels.int4_matmul import w4a4_matmul_i8
+
+    m, k, n = shape
+    q = jnp.asarray(rng.integers(-8, 8, (n, k)), jnp.int8)
+    wp = pack_weight_planar(q)
+    ws = jnp.asarray(rng.uniform(0.005, 0.02, (n,)), jnp.float32)
+    x = jnp.asarray(rng.standard_normal((m, k)), jnp.float32)
+    xq, xs = quantize_acts_sym(x)
+    ref = w4a8_matmul_ref(xq, xs, wp, ws, jnp.float32)
+    out = w4a4_matmul_i8(
+        xq.astype(jnp.int8), xs, wp, ws, jnp.float32,
+        block_m=64, block_n=128, interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
