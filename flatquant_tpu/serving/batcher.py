@@ -49,7 +49,17 @@ class ContinuousBatcher:
         max_len: int = 2048,
         use_kernel: bool = False,
         compute_dtype=jnp.float32,
+        cache_mode: str = "bf16",
+        prefill_bucket: int = 0,
     ):
+        """cache_mode="int4": packed int4 KV cache + Pallas flash-decode
+        (the flagship cache under continuous batching; per-slot positions
+        feed the kernel's per-batch valid_len). prefill_bucket > 0 pads
+        each prompt up to a multiple of the bucket before prefill so a
+        realistic request mix compiles one prefill program per bucket
+        instead of one per distinct length (pad rows write garbage cache
+        entries past the true length, but decode overwrites row `pos`
+        before valid_len ever covers it, so results are unchanged)."""
         self.cfg = cfg
         self.fq_cfg = fq_cfg
         self.sp = serving_params
@@ -58,7 +68,10 @@ class ContinuousBatcher:
         self.use_kernel = use_kernel
         self.compute_dtype = compute_dtype
 
-        self.cache = init_cache(cfg, batch_slots, max_len, dtype=compute_dtype)
+        self.cache_mode = cache_mode
+        self.prefill_bucket = prefill_bucket
+        self.cache = init_cache(cfg, batch_slots, max_len, dtype=compute_dtype,
+                                mode=cache_mode)
         self.pos = np.zeros(batch_slots, np.int32)  # current length per slot
         self.remaining = np.zeros(batch_slots, np.int32)
         self.slot_req: List[Optional[Request]] = [None] * batch_slots
@@ -70,9 +83,9 @@ class ContinuousBatcher:
         cdt = compute_dtype
 
         @jax.jit
-        def prefill_one(sp, tokens, cache1):
+        def prefill_one(sp, tokens, cache1, last_idx):
             return _forward(cfg, fq_cfg, sp, tokens, cache1, 0, "prefill",
-                            use_kernel, max_len, cdt)
+                            use_kernel, max_len, cdt, last_idx=last_idx)
 
         @jax.jit
         def decode_multi(sp, toks, cache, pos_vec):
@@ -113,14 +126,21 @@ class ContinuousBatcher:
     def _prefill_into_slot(self, slot: int, req: Request):
         S = len(req.prompt)
         assert S + req.max_new_tokens <= self.max_len
-        cache1 = init_cache(self.cfg, 1, self.max_len, dtype=self.compute_dtype)
+        toks = req.prompt
+        if self.prefill_bucket > 0:
+            S_pad = -(-S // self.prefill_bucket) * self.prefill_bucket
+            S_pad = min(S_pad, self.max_len)
+            toks = np.pad(toks, (0, S_pad - S))
+        cache1 = init_cache(self.cfg, 1, self.max_len, dtype=self.compute_dtype,
+                            mode=self.cache_mode)
         logits, cache1 = self._prefill_one(
-            self.sp, jnp.asarray(req.prompt[None, :]), cache1
+            self.sp, jnp.asarray(toks[None, :]), cache1,
+            jnp.asarray([S - 1], np.int32),
         )
         # scatter the prompt cache rows into this slot
         self.cache = {
-            "k": self.cache["k"].at[:, slot, :].set(cache1["k"][:, 0]),
-            "v": self.cache["v"].at[:, slot, :].set(cache1["v"][:, 0]),
+            key: self.cache[key].at[:, slot].set(cache1[key][:, 0])
+            for key in self.cache
         }
         tok = int(jnp.argmax(logits[0]))
         req.out_tokens.append(tok)

@@ -220,11 +220,13 @@ def serving_layer_int4cache(
     cfg, fq_cfg, sl, x, cos, sin, kp, kparam, vp, vparam, pos, phase,
     use_kernel, compute_dtype,
 ):
-    """serving_layer variant over the packed int4 cache (scalar pos only).
+    """serving_layer variant over the packed int4 cache.
 
     Prefill: quantize+pack the prompt K/V into the cache, attend
     unquantized (reference prefill accuracy trick). Decode: one token via
-    the fused int4 flash-decode kernel (kernels.kv_cache).
+    the fused int4 flash-decode kernel (kernels.kv_cache). pos may be a
+    scalar or a per-slot [B] vector (continuous batching decode) — the
+    kernel's valid_len is per-batch already (kernels/kv_cache.py:172-181).
     """
     from flatquant_tpu.kernels.kv_cache import (
         decode_attention_int4_v3,
@@ -259,9 +261,19 @@ def serving_layer_int4cache(
 
     from flatquant_tpu.models.llama import apply_rope
 
-    cos_s = jax.lax.dynamic_slice_in_dim(cos, pos, S, axis=0)
-    sin_s = jax.lax.dynamic_slice_in_dim(sin, pos, S, axis=0)
-    q, k = apply_rope(q, k, cos_s, sin_s)
+    per_slot = getattr(pos, "ndim", 0) == 1
+    if per_slot:
+        assert S == 1, "per-slot positions only in single-token decode"
+        cos_s = cos[pos][:, None]  # [B, 1, d]
+        sin_s = sin[pos][:, None]
+        cb = cos_s[:, :, None, :]
+        sb = sin_s[:, :, None, :]
+        q = q * cb.astype(q.dtype) + _rotate_half_rope(q) * sb.astype(q.dtype)
+        k = k * cb.astype(k.dtype) + _rotate_half_rope(k) * sb.astype(k.dtype)
+    else:
+        cos_s = jax.lax.dynamic_slice_in_dim(cos, pos, S, axis=0)
+        sin_s = jax.lax.dynamic_slice_in_dim(sin, pos, S, axis=0)
+        q, k = apply_rope(q, k, cos_s, sin_s)
     if "k_t" in sl:
         k = _apply_head_matrix(k, sl["k_t"])
         q = _apply_head_matrix(q, sl["k_t_inv"])
@@ -270,14 +282,21 @@ def serving_layer_int4cache(
     vq, vsc, vzr = quantize_pack_kv(v, sl.get("vc_clip"))
     # new tokens [B, S, nkv, ...] -> cache layout [B, nkv, S, ...]
     tr = lambda t: jnp.swapaxes(t, 1, 2)
-    kp = jax.lax.dynamic_update_slice_in_dim(kp, tr(kq), pos, axis=2)
-    vp = jax.lax.dynamic_update_slice_in_dim(vp, tr(vq), pos, axis=2)
-    kparam = jax.lax.dynamic_update_slice_in_dim(
-        kparam, tr(jnp.concatenate([ksc, kzr], -1)), pos, axis=2
-    )
-    vparam = jax.lax.dynamic_update_slice_in_dim(
-        vparam, tr(jnp.concatenate([vsc, vzr], -1)), pos, axis=2
-    )
+    kpar_new = tr(jnp.concatenate([ksc, kzr], -1))
+    vpar_new = tr(jnp.concatenate([vsc, vzr], -1))
+    if per_slot:
+        bidx = jnp.arange(B)[:, None]
+        hidx = jnp.arange(nkv)[None, :]
+        sidx = pos[:, None]
+        kp = kp.at[bidx, hidx, sidx].set(tr(kq)[:, :, 0])
+        vp = vp.at[bidx, hidx, sidx].set(tr(vq)[:, :, 0])
+        kparam = kparam.at[bidx, hidx, sidx].set(kpar_new[:, :, 0])
+        vparam = vparam.at[bidx, hidx, sidx].set(vpar_new[:, :, 0])
+    else:
+        kp = jax.lax.dynamic_update_slice_in_dim(kp, tr(kq), pos, axis=2)
+        vp = jax.lax.dynamic_update_slice_in_dim(vp, tr(vq), pos, axis=2)
+        kparam = jax.lax.dynamic_update_slice_in_dim(kparam, kpar_new, pos, axis=2)
+        vparam = jax.lax.dynamic_update_slice_in_dim(vparam, vpar_new, pos, axis=2)
 
     sm_scale = 1.0 / float(np.sqrt(hd))
     if phase == "prefill":
@@ -294,7 +313,8 @@ def serving_layer_int4cache(
         probs = jax.nn.softmax(scores, axis=-1).astype(compute_dtype)
         attn = jnp.einsum("bhqk,bkhd->bqhd", probs, v_att.astype(compute_dtype))
     else:
-        valid = jnp.full((B,), pos + 1, jnp.int32)
+        valid = (pos + 1).astype(jnp.int32) if per_slot else jnp.full(
+            (B,), pos + 1, jnp.int32)
         if use_kernel:
             attn = decode_attention_int4_v3(
                 q[:, 0], kp, kparam, vp, vparam, valid, sm_scale
@@ -331,8 +351,16 @@ def serving_layer_int4cache(
     return x, kp, kparam, vp, vparam
 
 
+def _last_hidden(x, last_idx):
+    """Hidden state of the last *real* token: x[:, -1], or per-batch
+    last_idx when the prompt was right-padded to a length bucket."""
+    if last_idx is None:
+        return x[:, -1]
+    return x[jnp.arange(x.shape[0]), last_idx]
+
+
 def _forward(cfg, fq_cfg, sp, tokens, cache, pos, phase, use_kernel, max_len,
-             compute_dtype=jnp.bfloat16):
+             compute_dtype=jnp.bfloat16, last_idx=None):
     B, S = tokens.shape
     x = sp["embed"][tokens].astype(compute_dtype)
     cos, sin = _rope_slice(cfg, max_len)
@@ -355,7 +383,7 @@ def _forward(cfg, fq_cfg, sp, tokens, cache, pos, phase, use_kernel, max_len,
                 kps.append(kp_i); kpars.append(kparam_i)
                 vps.append(vp_i); vpars.append(vparam_i)
             x = rms_norm(x, sp["final_norm_w"], cfg.rms_eps)
-            logits = jnp.matmul(x[:, -1], sp["lm_head"].T.astype(x.dtype))
+            logits = jnp.matmul(_last_hidden(x, last_idx), sp["lm_head"].T.astype(x.dtype))
             return logits.astype(jnp.float32), {
                 "kp": jnp.stack(kps), "kparam": jnp.stack(kpars),
                 "vp": jnp.stack(vps), "vparam": jnp.stack(vpars),
@@ -368,15 +396,10 @@ def _forward(cfg, fq_cfg, sp, tokens, cache, pos, phase, use_kernel, max_len,
             )
             cks.append(ck_i); cvs.append(cv_i)
         x = rms_norm(x, sp["final_norm_w"], cfg.rms_eps)
-        logits = jnp.matmul(x[:, -1], sp["lm_head"].T.astype(x.dtype))
+        logits = jnp.matmul(_last_hidden(x, last_idx), sp["lm_head"].T.astype(x.dtype))
         return logits.astype(jnp.float32), {"k": jnp.stack(cks), "v": jnp.stack(cvs)}
 
     if "kp" in cache:  # packed int4 cache mode
-        assert getattr(pos, "ndim", 0) == 0, (
-            "int4 cache mode currently supports scalar positions only; "
-            "the continuous batcher (per-slot position vectors) uses the "
-            "bf16 cache mode"
-        )
         assert fq_cfg.k_cfg.enabled and fq_cfg.v_cfg.enabled, (
             "int4 cache mode requires k_bits/v_bits < 16 (the packed cache "
             "always quantizes); use the bf16 cache for kv16 configs"
@@ -395,7 +418,7 @@ def _forward(cfg, fq_cfg, sp, tokens, cache, pos, phase, use_kernel, max_len,
             (sp["layers"], cache["kp"], cache["kparam"], cache["vp"], cache["vparam"]),
         )
         x = rms_norm(x, sp["final_norm_w"], cfg.rms_eps)
-        logits = jnp.matmul(x[:, -1], sp["lm_head"].T.astype(x.dtype))
+        logits = jnp.matmul(_last_hidden(x, last_idx), sp["lm_head"].T.astype(x.dtype))
         return logits.astype(jnp.float32), {
             "kp": kp, "kparam": kparam, "vp": vp, "vparam": vparam
         }
@@ -411,8 +434,31 @@ def _forward(cfg, fq_cfg, sp, tokens, cache, pos, phase, use_kernel, max_len,
 
     x, (ck_new, cv_new) = jax.lax.scan(body, x, (sp["layers"], cache["k"], cache["v"]))
     x = rms_norm(x, sp["final_norm_w"], cfg.rms_eps)
-    logits = jnp.matmul(x[:, -1], sp["lm_head"].T.astype(x.dtype))
+    logits = jnp.matmul(_last_hidden(x, last_idx), sp["lm_head"].T.astype(x.dtype))
     return logits.astype(jnp.float32), {"k": ck_new, "v": cv_new}
+
+
+def serving_all_logits(cfg, fq_cfg, sp, tokens, use_kernel=False,
+                       compute_dtype=jnp.bfloat16):
+    """Full-sequence logits [B, S, V] through the real-quant serving stack
+    (prefill-phase layers). The lm-eval loglikelihood path over packed
+    weights — the reference's benchmark_lm_eval.py runs QA through its
+    real-quant model the same way."""
+    B, S = tokens.shape
+    cache = init_cache(cfg, B, S, dtype=compute_dtype)
+    x = sp["embed"][tokens].astype(compute_dtype)
+    cos, sin = _rope_slice(cfg, S)
+
+    def body(carry, xs):
+        x = carry
+        sl, ck, cv = xs
+        x, _, _ = serving_layer(cfg, fq_cfg, sl, x, cos, sin, ck, cv, 0,
+                                "prefill", use_kernel, compute_dtype)
+        return x, None
+
+    x, _ = jax.lax.scan(body, x, (sp["layers"], cache["k"], cache["v"]))
+    x = rms_norm(x, sp["final_norm_w"], cfg.rms_eps)
+    return jnp.matmul(x, sp["lm_head"].T.astype(x.dtype)).astype(jnp.float32)
 
 
 def unstack_serving_layers(sp: dict) -> dict:
@@ -461,12 +507,16 @@ def generate(
     use_kernel: bool = True,
     temperature: float = 0.0,
     seed: int = 0,
+    cache_mode: str = "bf16",
+    compute_dtype=jnp.bfloat16,
 ):
     """Generation (host loop over jitted steps); temperature 0 = greedy."""
     B, S = prompt.shape
-    cache = init_cache(cfg, B, max_len)
+    cache = init_cache(cfg, B, max_len, mode=cache_mode,
+                       dtype=compute_dtype if cache_mode == "bf16" else jnp.bfloat16)
     logits, cache = serving_prefill(
-        cfg, fq_cfg, sp, jnp.asarray(prompt), cache, use_kernel=use_kernel, max_len=max_len
+        cfg, fq_cfg, sp, jnp.asarray(prompt), cache, use_kernel=use_kernel,
+        max_len=max_len, compute_dtype=compute_dtype,
     )
     key = jax.random.PRNGKey(seed)
     out = []
@@ -476,7 +526,8 @@ def generate(
     for _ in range(max_new_tokens):
         out.append(np.asarray(tok))
         logits, cache = serving_decode_step(
-            cfg, fq_cfg, sp, tok, cache, jnp.int32(pos), use_kernel=use_kernel, max_len=max_len
+            cfg, fq_cfg, sp, tok, cache, jnp.int32(pos), use_kernel=use_kernel,
+            max_len=max_len, compute_dtype=compute_dtype,
         )
         key, sub = jax.random.split(key)
         tok = sample_token(logits, temperature, sub)

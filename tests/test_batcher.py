@@ -27,8 +27,11 @@ def served():
     return cfg, fq_cfg, sp
 
 
-def test_batcher_matches_single_request(served):
-    """3 requests through 2 slots must reproduce per-request greedy output."""
+@pytest.mark.parametrize("cache_mode", ["bf16", "int4"])
+def test_batcher_matches_single_request(served, cache_mode):
+    """3 requests through 2 slots must reproduce per-request greedy output
+    — in both cache modes (the int4 packed cache under continuous batching
+    is the flagship serving configuration)."""
     cfg, fq_cfg, sp = served
     rng = np.random.default_rng(0)
     prompts = [rng.integers(0, cfg.vocab_size, (n,)).astype(np.int32)
@@ -39,10 +42,11 @@ def test_batcher_matches_single_request(served):
     expected = {}
     for i, (p, n) in enumerate(zip(prompts, n_new)):
         out = generate(cfg, fq_cfg, sp, p[None, :], max_new_tokens=n,
-                       max_len=32, use_kernel=False)
+                       max_len=32, use_kernel=False, cache_mode=cache_mode)
         expected[i] = out[0].tolist()
 
-    batcher = ContinuousBatcher(cfg, fq_cfg, sp, batch_slots=2, max_len=32)
+    batcher = ContinuousBatcher(cfg, fq_cfg, sp, batch_slots=2, max_len=32,
+                                cache_mode=cache_mode)
     rids = [batcher.submit(p, n) for p, n in zip(prompts, n_new)]
     results = batcher.run(max_steps=200)
 
@@ -51,6 +55,32 @@ def test_batcher_matches_single_request(served):
         assert results[rid] == expected[i], (
             f"req {i}: batched {results[rid]} != single {expected[i]}"
         )
+
+
+@pytest.mark.parametrize("cache_mode", ["bf16", "int4"])
+def test_batcher_prefill_bucketing(served, cache_mode):
+    """Length-bucketed prefill (one compile per bucket) produces the same
+    greedy tokens as exact-length prefill."""
+    cfg, fq_cfg, sp = served
+    rng = np.random.default_rng(7)
+    prompts = [rng.integers(0, cfg.vocab_size, (n,)).astype(np.int32)
+               for n in (3, 5, 9)]
+
+    plain = ContinuousBatcher(cfg, fq_cfg, sp, batch_slots=2, max_len=32,
+                              cache_mode=cache_mode)
+    for p in prompts:
+        plain.submit(p, 4)
+    want = plain.run(max_steps=200)
+
+    bucketed = ContinuousBatcher(cfg, fq_cfg, sp, batch_slots=2, max_len=32,
+                                 cache_mode=cache_mode, prefill_bucket=8)
+    for p in prompts:
+        bucketed.submit(p, 4)
+    got = bucketed.run(max_steps=200)
+    assert got == want
+    # 3 and 5 share the size-8 bucket: only 2 distinct compiled shapes
+    sizes = {(-(-len(p) // 8) * 8) for p in prompts}
+    assert len(sizes) == 2
 
 
 def test_batcher_eos_early_exit(served):
