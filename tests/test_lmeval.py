@@ -74,3 +74,87 @@ def test_loglikelihood_empty_context():
     )[0][0]
     np.testing.assert_allclose(ll, want, rtol=1e-5, atol=1e-5)
     assert np.isfinite(ll)
+
+
+def _served():
+    from flatquant_tpu.quantize.bake import bake_model
+    from flatquant_tpu.quantize.spec import W4A4KV4
+    from flatquant_tpu.quantize.state import init_model_fq
+    from flatquant_tpu.serving.quantized import build_serving_params
+
+    cfg = get_config("tiny-llama")
+    params = init_params(cfg, seed=0)
+    params["lm_head"] = params["lm_head"] * 6.0  # sharpen to avoid argmax ties
+    fq_cfg = W4A4KV4
+    fq = init_model_fq(cfg, fq_cfg, seed=0)
+    baked, baked_fq = bake_model(cfg, fq_cfg, params, fq)
+    sp = build_serving_params(cfg, fq_cfg, baked, baked_fq, dtype=jnp.float32)
+    return cfg, fq_cfg, baked, baked_fq, sp
+
+
+def test_loglikelihood_real_matches_fake():
+    """lm-eval scoring through the real-quant serving stack matches the
+    fake-quant eval path (the reference's fake-vs-real metric-parity gate,
+    REALQUANT.md Tables 1-2 / benchmark_lm_eval.py).
+
+    KV16 config: exact parity (same math, packed weights). KV4: close but
+    not exact — serving prefill deliberately attends UNQUANTIZED K/V
+    (modeling_llama.py:125-137 accuracy trick) while the fake path
+    quantizes, the same gap the reference reports (real 6.93 vs fake 6.98
+    PPL on Llama-3-8B)."""
+    from flatquant_tpu.evals.tasks import batched_loglikelihood as bll
+    from flatquant_tpu.quantize.bake import bake_model
+    from flatquant_tpu.quantize.spec import W4A4, W4A4KV4
+    from flatquant_tpu.quantize.state import init_model_fq
+    from flatquant_tpu.serving.quantized import build_serving_params
+
+    cfg = get_config("tiny-llama")
+    params = init_params(cfg, seed=0)
+    rng = np.random.default_rng(5)
+    pairs = [
+        (rng.integers(0, cfg.vocab_size, 5).tolist(),
+         rng.integers(0, cfg.vocab_size, 3).tolist())
+        for _ in range(4)
+    ] + [([], rng.integers(0, cfg.vocab_size, 2).tolist())]
+
+    from flatquant_tpu.quantize.bake import rtn_quantize_params
+
+    for fq_cfg, atol in ((W4A4, 2e-3), (W4A4KV4, 0.2)):
+        fq = init_model_fq(cfg, fq_cfg, seed=0)
+        baked, baked_fq = bake_model(cfg, fq_cfg, params, fq)
+        eval_params = rtn_quantize_params(fq_cfg, baked)
+        sp = build_serving_params(cfg, fq_cfg, baked, baked_fq,
+                                  dtype=jnp.float32, eval_params=eval_params)
+        fake = bll(cfg, eval_params, baked_fq, fq_cfg, "eval", pairs,
+                   batch_size=3, max_len=16, compute_dtype=jnp.float32)
+        real = bll(cfg, None, None, fq_cfg, "eval", pairs, batch_size=3,
+                   max_len=16, compute_dtype=jnp.float32, serving_params=sp)
+        for (lf, gf), (lr, gr) in zip(fake, real):
+            np.testing.assert_allclose(lr, lf, atol=atol, rtol=5e-3)
+            if fq_cfg is W4A4:
+                assert gf == gr
+
+
+def test_batched_generate_matches_engine():
+    """generate_until capability: batched greedy generation through the
+    serving engine matches per-prompt generate(), and stop sequences trim."""
+    from flatquant_tpu.evals.tasks import batched_generate
+    from flatquant_tpu.serving.engine import generate
+
+    cfg, fq_cfg, _, _, sp = _served()
+    rng = np.random.default_rng(6)
+    prompts = [rng.integers(0, cfg.vocab_size, n).tolist() for n in (4, 6)]
+
+    outs = batched_generate(cfg, fq_cfg, sp, prompts, max_new_tokens=5,
+                            max_len=32)
+    for p, got in zip(prompts, outs):
+        want = generate(cfg, fq_cfg, sp, np.asarray(p, np.int32)[None],
+                        max_new_tokens=5, max_len=32, use_kernel=False,
+                        compute_dtype=jnp.float32)
+        assert got == want[0].tolist()
+
+    # stop trimming: stop at the first generated token -> empty output
+    stop = [[outs[0][0]]]
+    trimmed = batched_generate(cfg, fq_cfg, sp, prompts[:1], max_new_tokens=5,
+                               max_len=32, stop_token_sets=[stop])
+    assert trimmed[0] == []
