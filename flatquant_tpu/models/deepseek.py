@@ -765,8 +765,13 @@ def ds_layer(cfg, fq_cfg, mode, lp, lfq, x, cos, sin, mask, moe: bool,
 
 
 def deepseek_forward(cfg: DeepSeekConfig, params, tokens, fq=None, fq_cfg=None,
-                     mode: str = "fp", compute_dtype=jnp.bfloat16):
-    """Full-sequence forward -> fp32 logits. fq: (dense_fq, moe_fq) stacks."""
+                     mode: str = "fp", compute_dtype=jnp.bfloat16,
+                     n_fp_tail: int = 0):
+    """Full-sequence forward -> fp32 logits. fq: (dense_fq, moe_fq) stacks.
+
+    n_fp_tail > 0 runs the last n MoE layers in full precision — the
+    --v3_not_last analog (main_dpskv3.py:456-459 leaves the final two
+    layers unquantized); pair with calibrate_deepseek(skip_last=n)."""
     B, S = tokens.shape
     x = params["embed"][tokens].astype(compute_dtype)
     cos, sin = ds_rope_tables(cfg, S)
@@ -781,8 +786,19 @@ def deepseek_forward(cfg: DeepSeekConfig, params, tokens, fq=None, fq_cfg=None,
         lp, lfq = xs
         return ds_layer(cfg, fq_cfg, mode, lp, lfq, carry, cos, sin, mask, moe=True), None
 
+    def moe_body_fp(carry, lp):
+        return ds_layer(cfg, None, "fp", lp, None, carry, cos, sin, mask, moe=True), None
+
     x, _ = jax.lax.scan(dense_body, x, (params["dense_layers"], dense_fq))
-    x, _ = jax.lax.scan(moe_body, x, (params["moe_layers"], moe_fq))
+    if n_fp_tail > 0 and mode != "fp":
+        n_q = cfg.n_moe_layers - n_fp_tail
+        head = jax.tree.map(lambda a: a[:n_q], params["moe_layers"])
+        tail = jax.tree.map(lambda a: a[n_q:], params["moe_layers"])
+        fq_head = jax.tree.map(lambda a: a[:n_q], moe_fq)
+        x, _ = jax.lax.scan(moe_body, x, (head, fq_head))
+        x, _ = jax.lax.scan(moe_body_fp, x, tail)
+    else:
+        x, _ = jax.lax.scan(moe_body, x, (params["moe_layers"], moe_fq))
     x = rms_norm(x, params["final_norm"], cfg.rms_eps)
     logits = jnp.matmul(x, params["head"].T.astype(x.dtype))
     return logits.astype(jnp.float32)

@@ -60,6 +60,9 @@ def parser_gen():
                    choices=["wikitext2", "c4", "ptb", "pile", "synthetic"])
     p.add_argument("--seqlen", type=int, default=None)
     # weight quant pass
+    p.add_argument("--v3_not_last", type=int, default=0, metavar="N",
+                   help="DeepSeek: leave the last N MoE layers unquantized "
+                        "(main_dpskv3.py:456-459 analog)")
     p.add_argument("--gptq", action="store_true", help="GPTQ instead of RTN")
     p.add_argument("--act_order", action="store_true")
     p.add_argument("--percdamp", type=float, default=0.01)
@@ -143,9 +146,19 @@ def main(argv=None):
             init_ds_params,
         )
 
-        cfg = {"deepseek-v3": DEEPSEEK_V3, "tiny-deepseek": TINY_DEEPSEEK}[args.model]
-        params = init_ds_params(cfg, seed=args.seed)
-        log.info(f"random-init DeepSeek model {args.model}")
+        if args.hf_path:
+            from flatquant_tpu.models.ds_loader import (
+                ds_config_from_hf_json,
+                load_hf_deepseek,
+            )
+
+            cfg = ds_config_from_hf_json(args.hf_path, name=args.model)
+            params = load_hf_deepseek(args.hf_path, cfg)
+            log.info(f"loaded HF DeepSeek checkpoint from {args.hf_path}")
+        else:
+            cfg = {"deepseek-v3": DEEPSEEK_V3, "tiny-deepseek": TINY_DEEPSEEK}[args.model]
+            params = init_ds_params(cfg, seed=args.seed)
+            log.info(f"random-init DeepSeek model {args.model}")
     elif args.hf_path:
         cfg = config_from_hf_json(args.hf_path, name=args.model)
         params = load_hf_llama(args.hf_path, cfg)
@@ -183,11 +196,21 @@ def main(argv=None):
             dense_fq, moe_fq = calibrate_deepseek(
                 cfg, fq_cfg, params, dense_fq, moe_fq, data.train, log=log.info,
                 save_cb=lambda i, st: ckpt.save_flat_parameters(exp_dir, st),
+                skip_last=args.v3_not_last,
             )
         eval_fq = bake_ds_fq(dense_fq, moe_fq)
         if args.save_matrix:
             ckpt.save_flat_matrices(exp_dir, eval_fq)
             log.info("saved flat_matrices")
+        if args.quantized_save:
+            from flatquant_tpu.models.deepseek import build_ds_serving_params
+
+            sp, _ = build_ds_serving_params(cfg, fq_cfg, params, dense_fq, moe_fq)
+            path = ckpt.save_packed_safetensors(exp_dir, sp, {
+                "model": args.model, "w_bits": fq_cfg.w_bits,
+                "a_bits": fq_cfg.a_bits, "v3_not_last": args.v3_not_last,
+            }, filename="ds_packed_int4.safetensors")
+            log.info(f"saved packed DeepSeek serving params -> {path}")
         if args.eval_ppl:
             import numpy as _np
 
@@ -195,7 +218,8 @@ def main(argv=None):
             n = d.test.shape[1] // seqlen
             total = 0.0
             fwd = jax.jit(lambda p, f, t: deepseek_forward(
-                cfg, p, t, fq=f, fq_cfg=fq_cfg, mode="calib"))
+                cfg, p, t, fq=f, fq_cfg=fq_cfg, mode="calib",
+                n_fp_tail=args.v3_not_last))
             for i in range(n):
                 chunk = jnp.asarray(d.test[:, i * seqlen:(i + 1) * seqlen])
                 logits = fwd(params, eval_fq, chunk)
