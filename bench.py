@@ -140,37 +140,46 @@ def main():
         float(bf16_loop(bp, tok, cache_b, pos))
         tb.append((time.perf_counter() - t0) / N_STEPS)
 
-    # prefill comparison (single chained pair; int8 MXU == bf16 MXU on this
-    # part, so expect ~parity — reported for completeness vs the reference's
-    # compute-bound prefill wins on tensor-core GPUs)
-    S_PRE = 256
-    ptoks = jnp.zeros((BATCH, S_PRE), jnp.int32)
+    # prefill comparison at the reference's headline shape (S=2048):
+    # the int8-MXU W4A4 kernel runs at 2x the bf16 MXU rate on v5e, the
+    # TPU analog of the reference's int4 tensor-core prefill wins
+    # (REALQUANT.md 1.98-2.06x). State-carrying loop: each iteration's
+    # tokens depend on the previous logits, so XLA cannot hoist the body.
+    S_PRE = 2048
+    N_PRE = 8
+    ptoks0 = jnp.zeros((BATCH, S_PRE), jnp.int32)
 
     @jax.jit
     def quant_prefill_loop(sp, ptoks, cache):
-        def body(i, acc):
+        def body(i, carry):
+            ptoks, acc = carry
             logits, _ = serving_prefill.__wrapped__(
-                cfg, fq_cfg, sp, ptoks, cache, USE_KERNEL, MAX_LEN, jnp.bfloat16)
-            return acc + jnp.sum(logits)
-        return jax.lax.fori_loop(0, 4, body, 0.0)
+                cfg, fq_cfg, sp, ptoks, cache, USE_KERNEL, S_PRE, jnp.bfloat16)
+            nxt = (ptoks + jnp.argmax(logits, -1)[:, None].astype(jnp.int32)) % cfg.vocab_size
+            return nxt, acc + jnp.sum(logits)
+        _, acc = jax.lax.fori_loop(0, N_PRE, body, (ptoks, 0.0))
+        return acc
 
     @jax.jit
     def bf16_prefill_loop(bp, ptoks, cache):
-        def body(i, acc):
-            logits, _ = bf16_prefill.__wrapped__(cfg, bp, ptoks, cache, MAX_LEN)
-            return acc + jnp.sum(logits)
-        return jax.lax.fori_loop(0, 4, body, 0.0)
+        def body(i, carry):
+            ptoks, acc = carry
+            logits, _ = bf16_prefill.__wrapped__(cfg, bp, ptoks, cache, S_PRE)
+            nxt = (ptoks + jnp.argmax(logits, -1)[:, None].astype(jnp.int32)) % cfg.vocab_size
+            return nxt, acc + jnp.sum(logits)
+        _, acc = jax.lax.fori_loop(0, N_PRE, body, (ptoks, 0.0))
+        return acc
 
-    cache_pq = init_cache(cfg, BATCH, MAX_LEN)
-    cache_pb = init_cache(cfg, BATCH, MAX_LEN)
-    float(quant_prefill_loop(sp, ptoks, cache_pq))
-    float(bf16_prefill_loop(bp, ptoks, cache_pb))
+    cache_pq = init_cache(cfg, BATCH, S_PRE)
+    cache_pb = init_cache(cfg, BATCH, S_PRE)
+    float(quant_prefill_loop(sp, ptoks0, cache_pq))
+    float(bf16_prefill_loop(bp, ptoks0, cache_pb))
     tpq = tpb = float("inf")
     for _ in range(3):
-        t0 = time.perf_counter(); float(quant_prefill_loop(sp, ptoks, cache_pq))
-        tpq = min(tpq, (time.perf_counter() - t0) / 4)
-        t0 = time.perf_counter(); float(bf16_prefill_loop(bp, ptoks, cache_pb))
-        tpb = min(tpb, (time.perf_counter() - t0) / 4)
+        t0 = time.perf_counter(); float(quant_prefill_loop(sp, ptoks0, cache_pq))
+        tpq = min(tpq, (time.perf_counter() - t0) / N_PRE)
+        t0 = time.perf_counter(); float(bf16_prefill_loop(bp, ptoks0, cache_pb))
+        tpb = min(tpb, (time.perf_counter() - t0) / N_PRE)
 
     t_quant = min(tq)
     t_bf16 = min(tb)
@@ -189,8 +198,8 @@ def main():
                     "steps": N_STEPS,
                     "tok_s_quant": round(BATCH / t_quant, 1),
                     "tok_s_bf16": round(BATCH / t_bf16, 1),
-                    "prefill256_quant_ms": round(tpq * 1e3, 3),
-                    "prefill256_bf16_ms": round(tpb * 1e3, 3),
+                    "prefill2048_quant_ms": round(tpq * 1e3, 3),
+                    "prefill2048_bf16_ms": round(tpb * 1e3, 3),
                     "prefill_speedup": round(tpb / tpq, 4),
                 },
             }
