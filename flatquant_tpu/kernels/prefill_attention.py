@@ -1,0 +1,193 @@
+"""Flash (chunked, online-softmax) causal prefill attention.
+
+TPU analog of the reference's flash-attn2 prefill
+(model_tools/modeling_llama.py:125-137 routes prompts through
+LlamaFlashAttention2): memory is O(S * block) instead of the dense
+[B, H, S, S] fp32 score tensor, so long prompts fit in HBM/VMEM.
+
+Design (TPU-first, not a port):
+  - GQA-aware blocking: one grid step per (batch, kv_head, q_block); the
+    n_rep query heads sharing a kv head are stacked into the MXU M axis
+    ([n_rep * blk_q, hd] x [hd, blk_k]), so K/V are never repeated
+    n_rep times in HBM (the dense path and GPU flash kernels both pay
+    that copy).
+  - K/V for the whole sequence live in VMEM per (batch, kv_head): at
+    hd=128, S=8192 costs 4 MB — within scoped VMEM. The online-softmax
+    fori only touches [blk_k, hd] tiles.
+  - Causal block skipping by trip count: q block i scans only
+    ceil((i+1)*blk_q / blk_k) K blocks; the diagonal block is masked
+    elementwise. Upper-triangle blocks are never visited, halving FLOPs
+    vs a masked dense pass.
+
+`flash_prefill_ref` is the pure-XLA blockwise oracle (runs everywhere,
+O(S * blk) memory) used on CPU and in tests.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _flash_prefill_kernel(q_ref, k_ref, v_ref, o_ref, *, sm_scale, blk_q,
+                          blk_k, hd, n_rep):
+    """Grid: (B, nkv, n_qblk). Blocks:
+    q [1, 1, n_rep, blk_q, hd]; k/v [1, 1, S, hd]; o [1, 1, n_rep, blk_q, hd].
+    """
+    qi = pl.program_id(2)
+    S = k_ref.shape[2]
+    M = n_rep * blk_q
+    q = q_ref[0, 0].reshape(M, hd).astype(jnp.float32) * sm_scale
+
+    q_start = qi * blk_q
+    # row r of the stacked M axis is query position q_start + r % blk_q
+    row_pos = q_start + jax.lax.broadcasted_iota(jnp.int32, (M, 1), 0) % blk_q
+
+    def body(ki, carry):
+        m, l, acc = carry
+        k_start = ki * blk_k
+        kblk = k_ref[0, 0, pl.ds(k_start, blk_k), :].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, kblk, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [M, blk_k]
+        col_pos = k_start + jax.lax.broadcasted_iota(jnp.int32, (1, blk_k), 1)
+        s = jnp.where(row_pos >= col_pos, s, -jnp.inf)
+
+        m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        corr = jnp.exp(m - m_new)
+        l_new = l * corr + jnp.sum(p, axis=1, keepdims=True)
+        vblk = v_ref[0, 0, pl.ds(k_start, blk_k), :].astype(jnp.float32)
+        acc_new = acc * corr + jax.lax.dot_general(
+            p, vblk, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return m_new, l_new, acc_new
+
+    # causal: only K blocks whose start <= this q block's last row
+    n_kblk = (q_start + blk_q + blk_k - 1) // blk_k
+    m0 = jnp.full((M, 1), -jnp.inf, jnp.float32)
+    l0 = jnp.zeros((M, 1), jnp.float32)
+    acc0 = jnp.zeros((M, hd), jnp.float32)
+    m, l, acc = jax.lax.fori_loop(0, n_kblk, body, (m0, l0, acc0))
+    out = acc / jnp.maximum(l, 1e-30)
+    o_ref[0, 0] = out.reshape(n_rep, blk_q, hd).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("sm_scale", "blk_q", "blk_k", "interpret")
+)
+def flash_prefill_attention(q, k, v, sm_scale: float, blk_q: int = 256,
+                            blk_k: int = 512, interpret: bool = False):
+    """Causal self-attention over a full prompt, O(S * blk) memory.
+
+    q [B, S, nh, hd]; k/v [B, S, nkv, hd] (nh % nkv == 0, GQA shared
+    kv heads are NOT repeated). Returns [B, S, nh, hd] in q.dtype.
+    S must be a multiple of 128 (serving buckets guarantee this).
+    """
+    B, S, nh, hd = q.shape
+    nkv = k.shape[2]
+    n_rep = nh // nkv
+    bq = min(blk_q, S)
+    bk = min(blk_k, S)
+    assert S % bq == 0 and S % bk == 0, (S, bq, bk)
+
+    # [B, S, nh, hd] -> [B, nkv, n_rep, S, hd]; [B, S, nkv, hd] -> [B, nkv, S, hd]
+    qg = q.reshape(B, S, nkv, n_rep, hd).transpose(0, 2, 3, 1, 4)
+    kt = k.transpose(0, 2, 1, 3)
+    vt = v.transpose(0, 2, 1, 3)
+
+    grid = (B, nkv, S // bq)
+    out = pl.pallas_call(
+        functools.partial(_flash_prefill_kernel, sm_scale=sm_scale, blk_q=bq,
+                          blk_k=bk, hd=hd, n_rep=n_rep),
+        out_shape=jax.ShapeDtypeStruct((B, nkv, n_rep, S, hd), q.dtype),
+        grid_spec=pl.GridSpec(
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, 1, n_rep, bq, hd), lambda b, h, i: (b, h, 0, i, 0)),
+                pl.BlockSpec((1, 1, S, hd), lambda b, h, i: (b, h, 0, 0)),
+                pl.BlockSpec((1, 1, S, hd), lambda b, h, i: (b, h, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, 1, n_rep, bq, hd), lambda b, h, i: (b, h, 0, i, 0)
+            ),
+        ),
+        interpret=interpret,
+    )(qg, kt, vt)
+    # [B, nkv, n_rep, S, hd] -> [B, S, nh, hd]
+    return out.transpose(0, 3, 1, 2, 4).reshape(B, S, nh, hd)
+
+
+def flash_prefill_ref(q, k, v, sm_scale: float, blk_q: int = 256):
+    """Pure-XLA blockwise causal attention (same signature/layout as the
+    kernel). Scans q blocks; each block attends to keys [0, blk_end) with
+    an elementwise causal mask — peak live score tensor is
+    [B, nh, blk_q, S] instead of [B, nh, S, S]."""
+    B, S, nh, hd = q.shape
+    nkv = k.shape[2]
+    n_rep = nh // nkv
+    bq = min(blk_q, S)
+    assert S % bq == 0
+    kf = k.astype(jnp.float32)
+    vf = v.astype(jnp.float32)
+    if n_rep > 1:
+        kf = jnp.repeat(kf, n_rep, axis=2)
+        vf = jnp.repeat(vf, n_rep, axis=2)
+    kf = kf.transpose(0, 2, 1, 3)  # [B, nh, S, hd]
+    vf = vf.transpose(0, 2, 1, 3)
+    qf = q.astype(jnp.float32).transpose(0, 2, 1, 3)  # [B, nh, S, hd]
+    qblocks = qf.reshape(B, nh, S // bq, bq, hd).transpose(2, 0, 1, 3, 4)
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, S), 3)
+
+    def body(carry, qb):
+        i = carry
+        s = jnp.einsum("bhqd,bhkd->bhqk", qb, kf) * sm_scale
+        row = i * bq + jax.lax.broadcasted_iota(jnp.int32, (1, 1, bq, 1), 2)
+        s = jnp.where(row >= col, s, -jnp.inf)
+        p = jax.nn.softmax(s, axis=-1)
+        o = jnp.einsum("bhqk,bhkd->bhqd", p, vf)
+        return i + 1, o
+
+    _, outs = jax.lax.scan(body, 0, qblocks)  # [nblk, B, nh, bq, hd]
+    out = outs.transpose(1, 2, 0, 3, 4).reshape(B, nh, S, hd)
+    return out.transpose(0, 2, 1, 3).astype(q.dtype)
+
+
+def dense_causal_attention(q, k, v, sm_scale: float, compute_dtype=jnp.bfloat16):
+    """The O(S^2)-memory dense path (previous engine behavior), kept as the
+    small-S fast path and the correctness oracle."""
+    B, S, nh, hd = q.shape
+    nkv = k.shape[2]
+    n_rep = nh // nkv
+    k_att, v_att = k, v
+    if n_rep > 1:
+        k_att = jnp.repeat(k_att, n_rep, axis=2)
+        v_att = jnp.repeat(v_att, n_rep, axis=2)
+    causal = jnp.tril(jnp.ones((S, S), bool))
+    bias = jnp.where(causal, 0.0, -1e9)[None, None]
+    scores = jnp.einsum(
+        "bqhd,bkhd->bhqk", q.astype(compute_dtype), k_att.astype(compute_dtype)
+    ).astype(jnp.float32) * sm_scale + bias
+    probs = jax.nn.softmax(scores, axis=-1).astype(compute_dtype)
+    return jnp.einsum("bhqk,bkhd->bqhd", probs, v_att.astype(compute_dtype))
+
+
+def prefill_attention(q, k, v, sm_scale: float, use_kernel: bool,
+                      compute_dtype=jnp.bfloat16, flash_threshold: int = 1024):
+    """Dispatch: Pallas flash kernel on TPU for long prompts, blockwise XLA
+    elsewhere when long, dense for short prompts (lowest latency; the
+    [S, S] buffer is tiny)."""
+    S = q.shape[1]
+    if S < flash_threshold or S % 128 != 0:
+        return dense_causal_attention(q, k, v, sm_scale, compute_dtype)
+    if use_kernel:
+        return flash_prefill_attention(q, k, v, sm_scale)
+    return flash_prefill_ref(q, k, v, sm_scale)

@@ -49,20 +49,25 @@ def _layer(cfg, lp, x, cos, sin, ck, cv, pos, phase):
 
     n_rep = nh // nkv
     if phase == "prefill":
-        k_att, v_att = k, v
-        causal = jnp.tril(jnp.ones((S, S), bool))
-        bias = jnp.where(causal, 0.0, -1e9)[None, None]
+        # same flash routing as the quant engine — the baseline must not be
+        # handicapped with O(S^2) attention (reference FP16 baseline uses
+        # flash-attn2, modeling_llama.py:125-137)
+        from flatquant_tpu.kernels.prefill_attention import prefill_attention
+
+        use_kernel = jax.default_backend() == "tpu"
+        attn = prefill_attention(q, k, v, 1.0 / float(np.sqrt(hd)),
+                                 use_kernel, q.dtype)
     else:
         k_att, v_att = ck, cv
         ids = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, ck.shape[1]), 3)
         bias = jnp.where(ids <= pos + S - 1, 0.0, -1e9)
-    if n_rep > 1:
-        k_att = jnp.repeat(k_att, n_rep, axis=2)
-        v_att = jnp.repeat(v_att, n_rep, axis=2)
-    scores = jnp.einsum("bqhd,bkhd->bhqk", q, k_att.astype(q.dtype))
-    scores = scores.astype(jnp.float32) / np.sqrt(hd) + bias
-    probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
-    attn = jnp.einsum("bhqk,bkhd->bqhd", probs, v_att.astype(q.dtype))
+        if n_rep > 1:
+            k_att = jnp.repeat(k_att, n_rep, axis=2)
+            v_att = jnp.repeat(v_att, n_rep, axis=2)
+        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k_att.astype(q.dtype))
+        scores = scores.astype(jnp.float32) / np.sqrt(hd) + bias
+        probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
+        attn = jnp.einsum("bhqk,bkhd->bqhd", probs, v_att.astype(q.dtype))
     x = x + lin(attn.reshape(B, S, nh * hd), lp["wo"])
 
     h2 = rms_norm(x, lp["ln2_w"], cfg.rms_eps)

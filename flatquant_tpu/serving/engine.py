@@ -166,11 +166,12 @@ def serving_layer(
     n_rep = nh // nkv
     if phase == "prefill":
         # attend over the *unquantized* transformed k/v (reference prefill
-        # accuracy trick), causal within the prompt
-        k_att, v_att = k, v
-        kv_len = S
-        causal = jnp.tril(jnp.ones((S, S), bool))
-        bias = jnp.where(causal, 0.0, -1e9)[None, None]
+        # accuracy trick), causal within the prompt; long prompts route
+        # through flash (O(S*blk) memory) — reference flash-attn2 analog
+        from flatquant_tpu.kernels.prefill_attention import prefill_attention
+
+        attn = prefill_attention(q, k, v, 1.0 / float(np.sqrt(hd)),
+                                 use_kernel, compute_dtype)
     else:
         kv_len = ck.shape[1]
         k_att, v_att = ck, cv
@@ -178,15 +179,15 @@ def serving_layer(
         ids = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, kv_len), 3)
         limit = (pos.reshape(-1, 1, 1, 1) if per_slot else pos) + S - 1
         bias = jnp.where(ids <= limit, 0.0, -1e9)
-    if n_rep > 1:
-        k_att = jnp.repeat(k_att, n_rep, axis=2)
-        v_att = jnp.repeat(v_att, n_rep, axis=2)
-    scores = jnp.einsum(
-        "bqhd,bkhd->bhqk", q.astype(compute_dtype), k_att.astype(compute_dtype)
-    )
-    scores = scores.astype(jnp.float32) / np.sqrt(hd) + bias
-    probs = jax.nn.softmax(scores, axis=-1).astype(compute_dtype)
-    attn = jnp.einsum("bhqk,bkhd->bqhd", probs, v_att.astype(compute_dtype))
+        if n_rep > 1:
+            k_att = jnp.repeat(k_att, n_rep, axis=2)
+            v_att = jnp.repeat(v_att, n_rep, axis=2)
+        scores = jnp.einsum(
+            "bqhd,bkhd->bhqk", q.astype(compute_dtype), k_att.astype(compute_dtype)
+        )
+        scores = scores.astype(jnp.float32) / np.sqrt(hd) + bias
+        probs = jax.nn.softmax(scores, axis=-1).astype(compute_dtype)
+        attn = jnp.einsum("bhqk,bkhd->bqhd", probs, v_att.astype(compute_dtype))
 
     # ---- output path ----
     if "o_t" in sl:
@@ -300,18 +301,9 @@ def serving_layer_int4cache(
 
     sm_scale = 1.0 / float(np.sqrt(hd))
     if phase == "prefill":
-        n_rep = nh // nkv
-        k_att, v_att = k, v
-        if n_rep > 1:
-            k_att = jnp.repeat(k_att, n_rep, axis=2)
-            v_att = jnp.repeat(v_att, n_rep, axis=2)
-        causal = jnp.tril(jnp.ones((S, S), bool))
-        bias = jnp.where(causal, 0.0, -1e9)[None, None]
-        scores = jnp.einsum(
-            "bqhd,bkhd->bhqk", q.astype(compute_dtype), k_att.astype(compute_dtype)
-        ).astype(jnp.float32) * sm_scale + bias
-        probs = jax.nn.softmax(scores, axis=-1).astype(compute_dtype)
-        attn = jnp.einsum("bhqk,bkhd->bqhd", probs, v_att.astype(compute_dtype))
+        from flatquant_tpu.kernels.prefill_attention import prefill_attention
+
+        attn = prefill_attention(q, k, v, sm_scale, use_kernel, compute_dtype)
     else:
         valid = (pos + 1).astype(jnp.int32) if per_slot else jnp.full(
             (B,), pos + 1, jnp.int32)

@@ -1,0 +1,72 @@
+"""Flash prefill attention: kernel/blockwise-XLA vs dense oracle.
+
+Parity target: reference flash-attn2 prefill routing
+(model_tools/modeling_llama.py:125-137) — same math as dense causal
+attention, O(S * blk) memory.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from flatquant_tpu.kernels.prefill_attention import (
+    dense_causal_attention,
+    flash_prefill_attention,
+    flash_prefill_ref,
+    prefill_attention,
+)
+
+
+def _rand_qkv(key, B, S, nh, nkv, hd, dtype=jnp.float32):
+    kq, kk, kv = jax.random.split(key, 3)
+    q = jax.random.normal(kq, (B, S, nh, hd), dtype)
+    k = jax.random.normal(kk, (B, S, nkv, hd), dtype)
+    v = jax.random.normal(kv, (B, S, nkv, hd), dtype)
+    return q, k, v
+
+
+@pytest.mark.parametrize("nh,nkv", [(4, 4), (8, 2)])
+def test_blockwise_ref_matches_dense(nh, nkv):
+    q, k, v = _rand_qkv(jax.random.PRNGKey(0), 2, 512, nh, nkv, 64)
+    sm = 1.0 / np.sqrt(64)
+    dense = dense_causal_attention(q, k, v, sm, compute_dtype=jnp.float32)
+    blockwise = flash_prefill_ref(q, k, v, sm, blk_q=128)
+    np.testing.assert_allclose(
+        np.asarray(blockwise), np.asarray(dense), atol=2e-5, rtol=1e-5
+    )
+
+
+@pytest.mark.parametrize("nh,nkv,bq,bk", [(4, 4, 128, 128), (8, 2, 128, 256)])
+def test_pallas_kernel_matches_dense_interpret(nh, nkv, bq, bk):
+    q, k, v = _rand_qkv(jax.random.PRNGKey(1), 2, 512, nh, nkv, 128)
+    sm = 1.0 / np.sqrt(128)
+    dense = dense_causal_attention(q, k, v, sm, compute_dtype=jnp.float32)
+    got = flash_prefill_attention(q, k, v, sm, blk_q=bq, blk_k=bk,
+                                  interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(dense), atol=2e-5, rtol=1e-5
+    )
+
+
+def test_first_row_attends_only_self():
+    # causal sanity: row 0 output == v[0] exactly (only itself visible)
+    q, k, v = _rand_qkv(jax.random.PRNGKey(2), 1, 256, 4, 4, 64)
+    out = flash_prefill_ref(q, k, v, 0.125, blk_q=128)
+    np.testing.assert_allclose(
+        np.asarray(out[:, 0]), np.asarray(v[:, 0]), atol=1e-6
+    )
+
+
+def test_dispatch_thresholds():
+    q, k, v = _rand_qkv(jax.random.PRNGKey(3), 1, 256, 4, 4, 64)
+    sm = 0.125
+    # short prompt -> dense; long prompt on CPU -> blockwise XLA
+    short = prefill_attention(q, k, v, sm, use_kernel=False,
+                              compute_dtype=jnp.float32)
+    dense = dense_causal_attention(q, k, v, sm, compute_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(short), np.asarray(dense), atol=1e-6)
+    long = prefill_attention(q, k, v, sm, use_kernel=False,
+                             compute_dtype=jnp.float32, flash_threshold=128)
+    np.testing.assert_allclose(np.asarray(long), np.asarray(dense), atol=2e-5,
+                               rtol=1e-5)
