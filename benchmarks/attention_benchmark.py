@@ -20,7 +20,7 @@ import jax.numpy as jnp
 jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_tpu_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-from flatquant_tpu.kernels.kv_cache import decode_attention_int4_v3, quantize_pack_kv
+from flatquant_tpu.kernels.kv_cache import decode_attention_int4_v4, pack_kv_transposed
 from flatquant_tpu.utils.benchmark import device_compare
 
 
@@ -46,22 +46,19 @@ def main():
     nkv, nh, hd = 8, 32, 128  # llama-3-8b attention
     for S in args.contexts:
         B = args.batch
-        k = jnp.asarray(rng.standard_normal((B, nkv, S, hd)), jnp.float32)
-        v = jnp.asarray(rng.standard_normal((B, nkv, S, hd)), jnp.float32)
-        kp, ks, kz = quantize_pack_kv(k)
-        vp, vs, vz = quantize_pack_kv(v)
-        kparam = jnp.concatenate([ks, kz], -1)
-        vparam = jnp.concatenate([vs, vz], -1)
+        k_sf = jnp.asarray(rng.standard_normal((B, S, nkv, hd)), jnp.float32)
+        v_sf = jnp.asarray(rng.standard_normal((B, S, nkv, hd)), jnp.float32)
+        kp, kparam = pack_kv_transposed(k_sf)  # v4 lane-full layout
+        vp, vparam = pack_kv_transposed(v_sf)
         q = jax.device_put(jnp.asarray(rng.standard_normal((B, nh, hd)), jnp.bfloat16))
         valid = jax.device_put(jnp.full((B,), S, jnp.int32))
-        kb = jax.device_put(k.astype(jnp.bfloat16))
-        vb = jax.device_put(v.astype(jnp.bfloat16))
+        kb = jax.device_put(jnp.swapaxes(k_sf, 1, 2).astype(jnp.bfloat16))
+        vb = jax.device_put(jnp.swapaxes(v_sf, 1, 2).astype(jnp.bfloat16))
         kp, kparam, vp, vparam = map(jax.device_put, (kp, kparam, vp, vparam))
         sm = 1.0 / np.sqrt(hd)
 
         def int4_attn_case(q, kp, kparam, vp, vparam, valid):
-            return decode_attention_int4_v3(q, kp, kparam, vp, vparam, valid,
-                                            sm, block_s=256)
+            return decode_attention_int4_v4(q, kp, kparam, vp, vparam, valid, sm)
 
         def bf16_attn_case(q, kb, vb, valid):
             return bf16_decode_attn(q, kb, vb, valid, sm)

@@ -20,13 +20,25 @@ softmax (m, l, acc) — the classic flash-decode recurrence.
 A pure-XLA reference implementation (used on CPU and as the correctness
 oracle) is provided by `decode_attention_ref`.
 
-Three kernel generations, kept for comparison (device-traced at
+Four kernel generations, kept for comparison (device-traced at
 llama-3-8b shapes, B=4/S=2048): v1 `decode_attention_int4` dequantizes
 K/V per element (185 us); `_wide` loops kv heads in-kernel (no gain —
 grid-step overhead is not the limiter); `_v3` folds scale/zero into the
 score/output epilogues so per-element work is only the nibble->float
-convert (119 us, 1.55x over v1; ~2.5x vs XLA bf16 attention). The engine
-uses v3.
+convert (119 us, 1.55x over v1; ~2.5x vs XLA bf16 attention).
+
+`_v4` fixes the real bottleneck found by floor-kernel profiling at
+llama-2-7b decode shapes (B=1, MHA, S=4096): the v1-v3 cache layouts are
+DMA-pathological on TPU — u8 codes [S, hd/2] leave half of every
+(32, 128) u8 VMEM tile empty (139 GB/s measured) and fp32 params [S, 2]
+are 2/128-lane skinny (~50 GB/s; +200 us per call). v4 stores the cache
+TRANSPOSED and lane-full: codes [B, nkv, hd/2, S] (token index on lanes,
+568 GB/s measured floor) and params [B, nkv, 2, S]. The transpose also
+removes all in-kernel relayouts: the two nibble planes concat along
+sublanes directly into K^T [hd, S_blk] for the MXU, and scores, params,
+and the causal mask all share the token-on-lanes layout. S-blocks run as
+the innermost (sequential) grid dimension with VMEM scratch carrying the
+online softmax, so block DMA overlaps compute. The engine uses v4.
 """
 
 from __future__ import annotations
@@ -397,3 +409,141 @@ def decode_attention_int4_v3(q, kp, kparam, vp, vparam, valid_len,
         interpret=interpret,
     )(valid_len.astype(jnp.int32), qg, kp, kparam, vp, vparam)
     return out.reshape(B, nh, hd)
+
+
+# ---------------------------------------------------------------------------
+# v4: lane-full transposed cache layout (see module docstring). Replaces the
+# reference's BatchDecodeWithPagedKVCacheKernel at TPU-native layouts:
+#   codes  [B, nkv, hd/2, S] uint8 — byte (c, t) packs codes (c, c+64) of
+#                                     token t; token index on lanes
+#   params [B, nkv, 2, S]   fp32   — rows (scale, zero); lanes align with
+#                                     score lanes, no gather
+# ---------------------------------------------------------------------------
+
+
+def _decode_kernel_v4(valid_ref, q_ref, kp_ref, kpar_ref, vp_ref, vpar_ref,
+                      o_ref, m_ref, l_ref, acc_ref, zacc_ref, *, sm_scale,
+                      block_s):
+    """Grid (B, nkv, S//block_s), S-blocks innermost (sequential). Blocks:
+    q [1,1,n_rep,hd]; kp/vp [1,1,hd/2,bs]; kpar/vpar [1,1,2,bs];
+    o [1,1,n_rep,hd] (revisited). Scratch carries the online softmax."""
+    b = pl.program_id(0)
+    si = pl.program_id(2)
+    n_blk = pl.num_programs(2)
+    valid = valid_ref[b]
+
+    @pl.when(si == 0)
+    def _init():
+        m_ref[...] = jnp.full_like(m_ref, -1e30)
+        l_ref[...] = jnp.zeros_like(l_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+        zacc_ref[...] = jnp.zeros_like(zacc_ref)
+
+    q = q_ref[0, 0].astype(jnp.float32)  # [n_rep, hd]
+    qsum = jnp.sum(q, axis=1, keepdims=True)  # [n_rep, 1]
+
+    # K^T codes: two nibble planes concat along sublanes -> [hd, bs]
+    kp = kp_ref[0, 0].astype(jnp.int32)  # [hd/2, bs]
+    ck = jnp.concatenate([kp & 0xF, kp >> 4], axis=0).astype(jnp.float32)
+    raw = jax.lax.dot_general(
+        q, ck, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [n_rep, bs]
+    ksc = kpar_ref[0, 0, 0:1, :]  # [1, bs]
+    kzr = kpar_ref[0, 0, 1:2, :]
+    sc = (raw - qsum * kzr) * ksc * sm_scale
+    ids = si * block_s + jax.lax.broadcasted_iota(jnp.int32, (1, block_s), 1)
+    sc = jnp.where(ids < valid, sc, -jnp.inf)
+
+    m_prev = m_ref[...]  # [n_rep, 1]
+    m_new = jnp.maximum(
+        jnp.maximum(m_prev, jnp.max(sc, axis=1, keepdims=True)), -1e30)
+    p = jnp.exp(sc - m_new)  # [n_rep, bs]
+    corr = jnp.exp(m_prev - m_new)
+    m_ref[...] = m_new
+    l_ref[...] = l_ref[...] * corr + jnp.sum(p, axis=1, keepdims=True)
+
+    vsc = vpar_ref[0, 0, 0:1, :]
+    vzr = vpar_ref[0, 0, 1:2, :]
+    p_s = p * vsc  # P' = P * scale, [n_rep, bs]
+    vp = vp_ref[0, 0].astype(jnp.int32)
+    cv = jnp.concatenate([vp & 0xF, vp >> 4], axis=0).astype(jnp.float32)
+    pv = jax.lax.dot_general(
+        p_s, cv, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [n_rep, hd]
+    acc_ref[...] = acc_ref[...] * corr + pv
+    zacc_ref[...] = zacc_ref[...] * corr + jnp.sum(p_s * vzr, axis=1,
+                                                   keepdims=True)
+
+    @pl.when(si == n_blk - 1)
+    def _fin():
+        l = jnp.maximum(l_ref[...], 1e-30)
+        o_ref[0, 0] = ((acc_ref[...] - zacc_ref[...]) / l).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("sm_scale", "block_s", "interpret"))
+def decode_attention_int4_v4(q, kp, kparam, vp, vparam, valid_len,
+                             sm_scale: float, block_s: int = 4096,
+                             interpret: bool = False):
+    """Lane-full transposed-layout int4 flash-decode (see header note).
+
+    q [B, nh, hd]; kp/vp [B, nkv, hd/2, S] uint8; kparam/vparam
+    [B, nkv, 2, S] fp32 (rows scale, zero); valid_len [B] int32.
+    Returns [B, nh, hd].
+
+    block_s defaults large: the block-size sweep at B=1/MHA/S=4096 gave
+    512->122 us, 1024->73, 2048->50, 4096->36.7 (the DMA floor is 29.6)
+    — per-grid-step overhead dominates below ~2048, while VMEM stays
+    comfortable at 4096 (codes 2x256 KB + f32 intermediates ~4 MB).
+    """
+    B, nkv, hdh, S = kp.shape
+    hd = hdh * 2
+    nh = q.shape[1]
+    n_rep = nh // nkv
+    bs = min(block_s, S)
+    while S % bs:  # largest power-of-two-ish divisor <= block_s
+        bs //= 2
+    assert bs >= 128 and S % bs == 0, (S, block_s)
+    qg = q.reshape(B, nkv, n_rep, hd)
+    out = pl.pallas_call(
+        functools.partial(_decode_kernel_v4, sm_scale=sm_scale, block_s=bs),
+        out_shape=jax.ShapeDtypeStruct((B, nkv, n_rep, hd), q.dtype),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(B, nkv, S // bs),
+            in_specs=[
+                pl.BlockSpec((1, 1, n_rep, hd), lambda b, h, s, *_: (b, h, 0, 0)),
+                pl.BlockSpec((1, 1, hdh, bs), lambda b, h, s, *_: (b, h, 0, s)),
+                pl.BlockSpec((1, 1, 2, bs), lambda b, h, s, *_: (b, h, 0, s)),
+                pl.BlockSpec((1, 1, hdh, bs), lambda b, h, s, *_: (b, h, 0, s)),
+                pl.BlockSpec((1, 1, 2, bs), lambda b, h, s, *_: (b, h, 0, s)),
+            ],
+            out_specs=pl.BlockSpec((1, 1, n_rep, hd), lambda b, h, s, *_: (b, h, 0, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((n_rep, 1), jnp.float32),   # m
+                pltpu.VMEM((n_rep, 1), jnp.float32),   # l
+                pltpu.VMEM((n_rep, hd), jnp.float32),  # acc
+                pltpu.VMEM((n_rep, 1), jnp.float32),   # zacc
+            ],
+        ),
+        interpret=interpret,
+    )(valid_len.astype(jnp.int32), qg, kp, kparam, vp, vparam)
+    return out.reshape(B, nh, hd)
+
+
+def pack_kv_transposed(t, clip=None):
+    """quantize_pack_kv + transpose to the v4 cache layout.
+
+    t [B, S, nkv, hd] -> (codes [B, nkv, hd/2, S] uint8,
+    params [B, nkv, 2, S] fp32 with rows (scale, zero))."""
+    pk, sc, zr = quantize_pack_kv(t, clip)
+    codes = jnp.transpose(pk, (0, 2, 3, 1))  # [B, nkv, hd/2, S]
+    params = jnp.transpose(jnp.concatenate([sc, zr], -1), (0, 2, 3, 1))
+    return codes, params
+
+
+def untranspose_kv(codes, params):
+    """v4 layout -> the decode_attention_ref layout: (packed
+    [B, nkv, S, hd/2], scale [B, nkv, S, 1], zero [B, nkv, S, 1])."""
+    pk = jnp.transpose(codes, (0, 1, 3, 2))
+    par = jnp.transpose(params, (0, 1, 3, 2))
+    return pk, par[..., 0:1], par[..., 1:2]

@@ -130,3 +130,46 @@ def test_decode_valid_len_zero_no_nan(rng):
             np.asarray(out[1], np.float32), np.asarray(ref[1], np.float32),
             atol=2e-2, rtol=0,
         )
+
+
+def test_decode_v4_matches_ref():
+    """v4 transposed lane-full layout == oracle (scalar + per-slot valid,
+    MHA + GQA)."""
+    from flatquant_tpu.kernels.kv_cache import (
+        decode_attention_int4_v4, pack_kv_transposed, untranspose_kv)
+
+    for nh, nkv in [(4, 4), (8, 2)]:
+        B, S, hd = 2, 512, 128
+        key = jax.random.PRNGKey(7)
+        kq_, kk_, kv_ = jax.random.split(key, 3)
+        q = jax.random.normal(kq_, (B, nh, hd), jnp.float32)
+        k = jax.random.normal(kk_, (B, S, nkv, hd), jnp.float32)
+        v = jax.random.normal(kv_, (B, S, nkv, hd), jnp.float32)
+        ck, pk_ = pack_kv_transposed(k)
+        cv, pv_ = pack_kv_transposed(v)
+        kp, ks, kz = untranspose_kv(ck, pk_)
+        vp, vs, vz = untranspose_kv(cv, pv_)
+        for valid in (jnp.array([S - 3, 17], jnp.int32),
+                      jnp.array([1, S], jnp.int32)):
+            ref = decode_attention_ref(q, kp, ks, kz, vp, vs, vz, valid, 0.125)
+            out = decode_attention_int4_v4(q, ck, pk_, cv, pv_, valid, 0.125,
+                                           block_s=128, interpret=True)
+            np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                       atol=2e-5, rtol=1e-5)
+
+
+def test_v4_layout_roundtrip():
+    from flatquant_tpu.kernels.kv_cache import (
+        pack_kv_transposed, quantize_pack_kv, untranspose_kv)
+
+    t = jax.random.normal(jax.random.PRNGKey(3), (2, 64, 4, 128), jnp.float32)
+    ck, par = pack_kv_transposed(t)
+    assert ck.shape == (2, 4, 64, 64) and par.shape == (2, 4, 2, 64)
+    kp, ks, kz = untranspose_kv(ck, par)
+    pk0, sc0, zr0 = quantize_pack_kv(t)
+    np.testing.assert_array_equal(np.asarray(kp),
+                                  np.asarray(jnp.swapaxes(pk0, 1, 2)))
+    np.testing.assert_array_equal(np.asarray(ks),
+                                  np.asarray(jnp.swapaxes(sc0, 1, 2)))
+    np.testing.assert_array_equal(np.asarray(kz),
+                                  np.asarray(jnp.swapaxes(zr0, 1, 2)))
