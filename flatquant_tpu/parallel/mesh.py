@@ -42,28 +42,37 @@ def make_mesh(axes: Dict[str, int], devices=None) -> Mesh:
 
 
 def llama_param_specs(cfg: LlamaConfig, params: dict,
-                      shard_vocab: bool = False) -> dict:
+                      shard_vocab: bool = False, tp_size: int = None) -> dict:
     """PartitionSpec tree for the fp model params (stacked [L, ...]).
 
     shard_vocab=True also vocab-shards the embedding table (the reference's
     ParallelEmbedding, deepseek_v3/model.py:87-126 — GSPMD turns the gather
-    into the masked-lookup + psum the reference hand-codes)."""
+    into the masked-lookup + psum the reference hand-codes).
+
+    tp_size (when known) enforces HEAD-GRANULAR tensor parallelism: wk/wv
+    are tp-sharded only if tp divides num_kv_heads, else replicated (the
+    Megatron rule). Cutting a shard boundary *inside* a head makes the
+    [B, S, n, hd] reshape propagate a mixed head/hd sharding whose backward
+    forces SPMD involuntary full rematerialization (seen in the round-1
+    multichip dryrun at tiny-llama nkv=2, tp=4)."""
+    kv_ok = tp_size is None or cfg.num_kv_heads % tp_size == 0
+    q_ok = tp_size is None or cfg.num_heads % tp_size == 0
     layer_specs = {
         "ln1_w": P(None, None),
         "ln2_w": P(None, None),
         # column-parallel: shard out_features (dim 1 of [L, out, in])
-        "wq": P(None, "tp", None),
-        "wk": P(None, "tp", None),
-        "wv": P(None, "tp", None),
+        "wq": P(None, "tp", None) if q_ok else P(None, None, None),
+        "wk": P(None, "tp", None) if kv_ok else P(None, None, None),
+        "wv": P(None, "tp", None) if kv_ok else P(None, None, None),
         "wup": P(None, "tp", None),
         "wgate": P(None, "tp", None),
         # row-parallel: shard in_features (dim 2)
-        "wo": P(None, None, "tp"),
+        "wo": P(None, None, "tp") if q_ok else P(None, None, None),
         "wdown": P(None, None, "tp"),
     }
-    for bkey in ("bq", "bk", "bv"):
+    for bkey, ok in (("bq", q_ok), ("bk", kv_ok), ("bv", kv_ok)):
         if bkey in params["layers"]:
-            layer_specs[bkey] = P(None, "tp")
+            layer_specs[bkey] = P(None, "tp") if ok else P(None, None)
     specs = {
         "embed": P("tp", None) if shard_vocab else P(None, None),
         "final_norm_w": P(None),
