@@ -242,9 +242,11 @@ def w4a4_matmul_i8(
     bm = min(block_m, m)
     bn = min(block_n, n)
     # VMEM budget: x block (bm*k int8) + w block (bn*k/2 u8) + unpacked
-    # nibbles (~bn*k i8 working set) + out (bm*bn*2); cap the static
-    # footprint at ~10 MB of the 16 MB scoped limit
-    while bm * k + bn * k // 2 + bm * bn * 2 > 10 * 2**20 and max(bm, bn) > 128:
+    # nibbles (bn*k i8 working set — MUST be counted: omitting it made the
+    # down_proj shape K=11008 exceed the 16 MB scoped limit by ~1 MB
+    # depending on surrounding fusion) + acc/out (~6*bm*bn); cap at ~11 MB
+    while (bm * k + bn * k // 2 + bn * k + 6 * bm * bn > 11 * 2**20
+           and max(bm, bn) > 128):
         if bm >= bn:
             bm //= 2
         else:
@@ -277,3 +279,146 @@ def w4a4_matmul_i8(
         ),
         interpret=interpret,
     )(x_q, w_packed, sx, sw)
+
+
+# ---------------------------------------------------------------------------
+# fused-quant variant: bf16 activations in, per-token quant in the kernel
+# prologue (j == 0), codes cached in VMEM scratch and reused across n-blocks
+#
+# MEASURED NEGATIVE RESULT — kept as a tested API + documentation, NOT wired
+# into serving. Device-traced vs the composed XLA-quant -> w4a4_matmul_i8
+# path at prefill shapes (M=2048, 30-iter device_compare):
+#   K=4096  N=4096:  322 vs 265 us  (0.82x)
+#   K=4096  N=11008: 752 vs 603 us  (0.80x)
+#   K=11008 N=4096: 1975 vs 796 us  (0.40x)
+# The quant prologue forces whole-K bf16 x blocks into VMEM (2 B/elt,
+# double-buffered), which shrinks the GEMM tiles far below the composed
+# kernel's (512, 1024) and costs MXU efficiency worth much more than the
+# ~2 B/elt of M*K HBM traffic the fusion saves (~27 us at 600 GB/s). Same
+# conclusion as the fused kron+quant prototype in fused_trans_quant.py:
+# on this toolchain the standalone XLA quant pass fuses well and the GEMM
+# should keep its tile freedom. The scale rule is byte-identical to
+# _quant_linear (reference deploy quant_utils.py:88-108): xmax*rmax /
+# xmin*rmin, absmax/7, zero -> 1.0; on-TPU output is bit-identical to the
+# composed path (CPU interpret differs by ~1 ulp: XLA CPU lowers /7.0 to
+# reciprocal-multiply in some contexts).
+# ---------------------------------------------------------------------------
+
+
+def _w4a4_i8_fusedq_kernel(x_ref, wp_ref, clip_ref, sw_ref, o_ref,
+                           xq_ref, xs_ref, xr_ref, *, out_dtype, k_chunk):
+    nj = pl.program_id(1)
+
+    @pl.when(nj == 0)
+    def _quantize():
+        xf = x_ref[...].astype(jnp.float32)  # [bm, K]
+        xmax = jnp.maximum(jnp.max(xf, axis=1, keepdims=True), 0.0) * clip_ref[0, 0]
+        xmin = jnp.minimum(jnp.min(xf, axis=1, keepdims=True), 0.0) * clip_ref[0, 1]
+        absmax = jnp.maximum(jnp.abs(xmin), xmax)
+        xs = jnp.where(absmax == 0, 1.0, absmax / 7.0)
+        xq = jnp.clip(jnp.round(xf / xs), -8, 7)
+        xq_ref[...] = xq.astype(jnp.int8)
+        xs_ref[...] = xs
+        xr_ref[...] = jnp.sum(xq, axis=1, keepdims=True)  # exact in f32
+
+    K = x_ref.shape[1]
+    kh = K // 2
+    acc = jnp.zeros((x_ref.shape[0], wp_ref.shape[0]), jnp.int32)
+    n_chunks = kh // k_chunk
+
+    def body(c, acc):
+        c0 = c * k_chunk
+        wp = wp_ref[:, pl.ds(c0, k_chunk)].astype(jnp.int32)
+        lo = (wp & 0xF).astype(jnp.int8)  # [bn, kc]
+        hi = (wp >> 4).astype(jnp.int8)
+        acc += jax.lax.dot_general(
+            xq_ref[:, pl.ds(c0, k_chunk)], lo,
+            (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32)
+        acc += jax.lax.dot_general(
+            xq_ref[:, pl.ds(kh + c0, k_chunk)], hi,
+            (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32)
+        return acc
+
+    acc = jax.lax.fori_loop(0, n_chunks, body, acc)
+    out = (acc.astype(jnp.float32) - 8.0 * xr_ref[...]) * xs_ref[...] * sw_ref[...]
+    o_ref[...] = out.astype(out_dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("out_dtype", "block_m", "block_n", "interpret")
+)
+def w4a4_matmul_i8_fusedq(
+    x,
+    w_packed,
+    w_scale,
+    clip=None,
+    out_dtype=jnp.bfloat16,
+    block_m: int = 256,
+    block_n: int = 512,
+    interpret: bool = False,
+):
+    """y[M, N] = dequant( quant_per_token(x)[M, K] @ unpack(w_packed)[N, K]^T ).
+
+    x: bf16/f32 activations (UNquantized — the kernel quantizes rows once
+    per m-block into VMEM scratch); clip: optional (rmax, rmin) LAC factors.
+    Bit-identical to quantize-then-w4a4_matmul_i8 (same f32 scale math, same
+    int8 MXU dot with exact int32 accumulation).
+    """
+    m, k = x.shape
+    n = w_packed.shape[0]
+    assert w_packed.shape[1] * 2 == k
+    bm = min(block_m, m)
+    bn = min(block_n, n)
+    kc = min(1024, k // 2)
+    while (k // 2) % kc:
+        kc //= 2
+    # VMEM (double-buffered inputs + int32 nibble intermediates — the
+    # first budget omitted both and OOM'd the 16 MB scoped limit at
+    # f32/K=4096): x 2·is·bm·k, wp 2·(bn·k/2), xq scratch bm·k,
+    # unpack chunk ~6·bn·kc (wp int32 + lo/hi int8), acc f32 + out ×2.
+    xis = jnp.dtype(x.dtype).itemsize
+
+    def vmem(bm, bn):
+        return (2 * xis * bm * k + bn * k + bm * k + 6 * bn * kc
+                + 12 * bm * bn)
+
+    while vmem(bm, bn) > 11 * 2**20 and max(bm, bn) > 128:
+        if bm >= bn:
+            bm //= 2
+        else:
+            bn //= 2
+    grid = (pl.cdiv(m, bm), pl.cdiv(n, bn))
+    sw = w_scale.reshape(1, n).astype(jnp.float32)
+    if clip is None:
+        clip_arr = jnp.ones((1, 2), jnp.float32)
+    else:
+        clip_arr = jnp.stack([clip[0].reshape(()), clip[1].reshape(())]).reshape(1, 2).astype(jnp.float32)
+
+    return pl.pallas_call(
+        functools.partial(_w4a4_i8_fusedq_kernel, out_dtype=out_dtype,
+                          k_chunk=kc),
+        out_shape=jax.ShapeDtypeStruct((m, n), out_dtype),
+        grid_spec=pl.GridSpec(
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((bm, k), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((bn, k // 2), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 2), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (bm, bn), lambda i, j: (i, j), memory_space=pltpu.VMEM
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((bm, k), jnp.int8),     # xq codes
+                pltpu.VMEM((bm, 1), jnp.float32),  # per-token scale
+                pltpu.VMEM((bm, 1), jnp.float32),  # per-token code rowsum
+            ],
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m * n * k,
+            bytes_accessed=2 * m * k + n * k // 2 + m * n * jnp.dtype(out_dtype).itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x, w_packed, clip_arr, sw)

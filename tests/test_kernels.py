@@ -98,3 +98,41 @@ def test_w4a4_i8_kernel_exact_vs_ref(rng, shape):
         block_m=64, block_n=128, interpret=True,
     )
     np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+@pytest.mark.parametrize("use_clip", [False, True])
+def test_w4a4_i8_fusedq_matches_composed(rng, use_clip):
+    """Fused-quant GEMM (quant in the kernel prologue) matches the composed
+    quantize-then-w4a4_matmul_i8 pipeline.
+
+    On TPU the two are bit-identical (validated on-device 2026-08-17 at
+    M=2048 K=4096 N=4096, exact and random cases). In CPU interpret mode
+    the activation scale `absmax / 7.0` may differ by 1 ulp between
+    lowering contexts (XLA CPU rewrites the division to reciprocal-multiply
+    inside jit), so this test constructs rows whose absmax is exactly
+    7 * 2^e — the scale is then a power of two, division is exact in any
+    lowering, and bit-identity is guaranteed."""
+    from flatquant_tpu.kernels.int4_matmul import w4a4_matmul_i8, w4a4_matmul_i8_fusedq
+
+    m, k, n = 64, 256, 384
+    q = jnp.asarray(rng.integers(-8, 8, (n, k)), jnp.int8)
+    wp = pack_weight_planar(q)
+    ws = jnp.asarray(rng.uniform(0.005, 0.02, (n,)), jnp.float32)
+    x = rng.standard_normal((m, k)).astype(np.float32)
+    idx = np.argmax(np.abs(x), axis=1)
+    x[np.arange(m), idx] = np.sign(x[np.arange(m), idx]) * 7.0 * 0.5
+    x = np.clip(x, -7.0 * 0.5, 7.0 * 0.5)
+    x = jnp.asarray(x)
+    clip = (jnp.float32(1.0), jnp.float32(1.0)) if use_clip else None
+
+    xf = x.astype(jnp.float32)
+    xmax = jnp.maximum(jnp.max(xf, axis=-1, keepdims=True), 0.0)
+    xmin = jnp.minimum(jnp.min(xf, axis=-1, keepdims=True), 0.0)
+    absmax = jnp.maximum(jnp.abs(xmin), xmax)
+    xs = jnp.where(absmax == 0, 1.0, absmax / 7.0)
+    xq = jnp.clip(jnp.round(xf / xs), -8, 7).astype(jnp.int8)
+    ref = w4a4_matmul_i8(xq, xs, wp, ws, jnp.float32,
+                         block_m=64, block_n=128, interpret=True)
+    out = w4a4_matmul_i8_fusedq(x, wp, ws, clip, jnp.float32,
+                                block_m=64, block_n=128, interpret=True)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
