@@ -88,8 +88,15 @@ class DeepSeekConfig:
     seqlen: int = 4096  # calibration length (scripts/deepseek/*.sh)
     # routed-expert execution: "dense" = masked all-experts einsum (exact,
     # O(E) FLOPs — fine for tiny/calibration); "gather" = capacity-based
-    # dispatch (activated-only FLOPs, tokens beyond capacity drop)
-    moe_impl: str = "dense"
+    # dispatch (activated-only FLOPs, tokens beyond capacity drop);
+    # "auto" (default) = gather for serve-mode prefill (>=256 tokens),
+    # dense otherwise. Measured crossover (benchmarks/moe_benchmark.py,
+    # dim 2048 / inter 1408 / E64 / K6, device-traced): decode b8/b32
+    # gather 0.97x/0.94x (weight-streaming-bound, dispatch overhead loses),
+    # prefill S=2048 gather 2.15x (compute-bound, activated-only FLOPs win).
+    # Calibration always runs dense: it is drop-free and matches the
+    # reference's exact per-expert loop (deepseek_v3/model.py MoE.forward).
+    moe_impl: str = "auto"
     moe_capacity_factor: float = 2.0
 
     @property
@@ -750,7 +757,12 @@ def ds_layer(cfg, fq_cfg, mode, lp, lfq, x, cos, sin, mask, moe: bool,
     x = x + attn
     h2 = rms_norm(x, lp["ffn_norm"], cfg.rms_eps)
     if moe:
-        if cfg.moe_impl == "gather" and stats is None:
+        impl = cfg.moe_impl
+        if impl == "auto":
+            B, S, _ = x.shape
+            impl = ("gather" if mode == "serve" and B * S >= 256
+                    else "dense")
+        if impl == "gather" and stats is None:
             out = x + _ffn_moe_gathered(cfg, fq_cfg, mode, lp, fqf, h2,
                                         capacity_factor=cfg.moe_capacity_factor)
         else:  # dense path also serves the stats capture (diag init)
