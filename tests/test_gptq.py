@@ -121,3 +121,23 @@ def test_serving_export_threads_gptq_weights(rng):
             rtn_wp = sp_rtn["layers"][name]["wp"][li]
             any_diff |= bool(jnp.any(lin["wp"] != rtn_wp))
     assert any_diff, "GPTQ codes never differed from RTN — threading is dead"
+
+
+@pytest.mark.parametrize("gs,sym", [(-1, True), (64, True), (128, False)])
+def test_gptq_blocked_matches_percolumn(rng, gs, sym):
+    """128-column lazy-batch schedule == per-column full-width feedback.
+
+    Identical math re-associated: the cross-block update sums B rank-1
+    terms in one matmul, so agreement is to f32 summation order (~1e-5),
+    exact when no grouping re-derives scales mid-stream."""
+    from flatquant_tpu.calib.gptq import gptq_quantize_weight
+    from flatquant_tpu.core.quant import WeightQuantCfg
+
+    w = jnp.asarray(rng.standard_normal((96, 256)) * 0.05, jnp.float32)
+    x = rng.standard_normal((512, 256)).astype(np.float32)
+    h = jnp.asarray(2.0 * x.T @ x)
+    cfg = WeightQuantCfg(bits=4, sym=sym, group_size=gs)
+    qb = gptq_quantize_weight(w, h, cfg, block_size=128)
+    qc = gptq_quantize_weight(w, h, cfg, block_size=1)
+    np.testing.assert_allclose(np.asarray(qb), np.asarray(qc),
+                               atol=2e-6, rtol=0)
