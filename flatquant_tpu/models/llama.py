@@ -175,6 +175,7 @@ def llama_layer(
     mask,
     with_stats: bool = False,
     with_linear_inputs: bool = False,
+    attn_fn=None,
 ):
     """One decoder layer. lp: this layer's slice of params['layers'].
 
@@ -256,7 +257,12 @@ def llama_layer(
                 v, _head_cfg(fq_cfg.v_cfg, cfg.head_dim), a.v_cache.clip_a_max, a.v_cache.clip_a_min
             )
 
-    attn = _attention_core(cfg, q, k, v, mask)
+    if attn_fn is None:
+        attn = _attention_core(cfg, q, k, v, mask)
+    else:
+        # pluggable attention (sequence-parallel ring, flash, ...) — same
+        # [B, S, nh|nkv, hd] contract as _attention_core
+        attn = attn_fn(q, k, v)
 
     if quant and a.o_trans is not None:
         # per-head mixing transform on the output: heads axis contraction
@@ -335,22 +341,29 @@ def llama_forward(
     mode: str = "fp",
     compute_dtype=jnp.bfloat16,
     positions=None,
+    attn_fn=None,
 ):
     """Full forward over a token batch [B, S] -> fp32 logits [B, S, V].
 
     The layer loop is a lax.scan over stacked layer params (and stacked FQ
     state when quantizing) — single compiled layer body.
+
+    attn_fn: optional replacement for the eager attention core (e.g. the
+    sequence-parallel ring in parallel/sequence.py). When given, `positions`
+    should carry the *global* positions of this shard's tokens and no local
+    causal mask is built.
     """
     B, S = tokens.shape
     x = params["embed"][tokens].astype(compute_dtype)
     if positions is None:
         positions = jnp.arange(S)
     cos, sin = rope_tables(cfg, positions)
-    mask = causal_mask(S)
+    mask = None if attn_fn is not None else causal_mask(S)
 
     def body(carry, layer_inputs):
         lp, lfq = layer_inputs
-        out = llama_layer(cfg, fq_cfg, mode, lp, lfq, carry, cos, sin, mask)
+        out = llama_layer(cfg, fq_cfg, mode, lp, lfq, carry, cos, sin, mask,
+                          attn_fn=attn_fn)
         return out, None
 
     x, _ = jax.lax.scan(body, x, (params["layers"], fq))

@@ -1,0 +1,151 @@
+"""Sequence (context) parallelism: ring attention over an "sp" mesh axis.
+
+The reference has NO sequence-length sharding of any kind (SURVEY §5:
+"no ring attention, no context parallel, no Ulysses"); its only
+long-context mechanisms are YaRN RoPE and a fixed-size paged cache. On
+TPU slices, prompts long enough to matter are exactly the ones whose
+activations should be sharded across chips, so the TPU-native build adds
+the missing capability the TPU way:
+
+  - Activations are sharded [B, S/sp, ...] along a named "sp" mesh axis.
+    Every non-attention op in a decoder layer (norms, linears, rope,
+    per-token fake-quant — FlatQuant's activation quantizers are strictly
+    per-token, core/quant.py) is token-elementwise, so under `shard_map`
+    they run unchanged on the local chunk: no resharding, no collectives.
+  - Attention is the one op coupling positions, handled with the classic
+    ring schedule: each step computes the local Q block against the
+    currently-held K/V chunk (online-softmax accumulation in fp32), then
+    rotates K/V one hop around the ring with `lax.ppermute` — bandwidth
+    rides ICI neighbor links, K/V are never all-gathered, and peak memory
+    per chip stays O(S/sp).
+  - Causality needs no schedule-level special casing: chunks from higher
+    global offsets are fully masked, which the online softmax absorbs
+    (they contribute p == 0). The ring starts on the diagonal chunk so the
+    running max is finite from step 0. The masked-chunk compute is the
+    SPMD bubble — same arithmetic waste as the GPipe selects in
+    parallel/pipeline.py, and the price of one compiled program.
+
+Exactness: per-token activation fake-quant scales depend only on that
+token's row, so the sp forward is the *same math* as the single-device
+forward in fp and eval modes (tested to fp32 tolerance; only the softmax
+accumulation order differs).
+
+Composes with "dp" (batch dim) on the same mesh; "tp" within a chunk is
+served by the GSPMD path (parallel/mesh.py) — see PARALLELISM.md for the
+axis map.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from flatquant_tpu.models.config import LlamaConfig
+
+
+def ring_attention(q, k, v, sm_scale: float, axis_name: str):
+    """Causal ring attention over the `axis_name` mesh axis.
+
+    Call *inside* shard_map. q [B, Sl, nh, hd], k/v [B, Sl, nkv, hd] hold
+    this rank's contiguous sequence chunk (global offset = rank * Sl).
+    Returns [B, Sl, nh, hd] in q.dtype.
+    """
+    B, Sl, nh, hd = q.shape
+    nkv = k.shape[2]
+    n_rep = nh // nkv
+    n = jax.lax.axis_size(axis_name)
+    idx = jax.lax.axis_index(axis_name)
+
+    qf = q.astype(jnp.float32) * sm_scale
+    row_pos = idx * Sl + jax.lax.broadcasted_iota(jnp.int32, (1, 1, Sl, 1), 2)
+    local_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, Sl), 3)
+    perm = [(i, (i + 1) % n) for i in range(n)]
+
+    def rep(t):
+        return jnp.repeat(t, n_rep, axis=2) if n_rep > 1 else t
+
+    def step(carry, t):
+        kc, vc, m, l, acc = carry
+        # after t hops, this rank holds the chunk that started on rank idx - t
+        src = (idx - t) % n
+        s = jnp.einsum(
+            "bqhd,bkhd->bhqk", qf, rep(kc).astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+        )
+        col_pos = src * Sl + local_iota
+        s = jnp.where(row_pos >= col_pos, s, -1e30)
+
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        corr = jnp.exp(m - m_new)
+        l_new = l * corr + jnp.sum(p, axis=-1, keepdims=True)
+        acc_new = acc * corr[..., 0][..., None] + jnp.einsum(
+            "bhqk,bkhd->bqhd",
+            p,
+            rep(vc).astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+        ).transpose(0, 2, 1, 3)
+        k_next = jax.lax.ppermute(kc, axis_name, perm)
+        v_next = jax.lax.ppermute(vc, axis_name, perm)
+        return (k_next, v_next, m_new, l_new, acc_new), None
+
+    m0 = jnp.full((B, nh, Sl, 1), -jnp.inf, jnp.float32)
+    l0 = jnp.zeros((B, nh, Sl, 1), jnp.float32)
+    acc0 = jnp.zeros((B, nh, Sl, hd), jnp.float32)
+    (_, _, m, l, acc), _ = jax.lax.scan(
+        step, (k, v, m0, l0, acc0), jnp.arange(n)
+    )
+    out = acc / jnp.maximum(l[..., 0][..., None], 1e-30)
+    return out.transpose(0, 2, 1, 3).astype(q.dtype)
+
+
+def sp_llama_forward(
+    cfg: LlamaConfig,
+    params: dict,
+    tokens,
+    mesh: Mesh,
+    fq=None,
+    fq_cfg=None,
+    mode: str = "fp",
+    compute_dtype=jnp.float32,
+    sp_axis: str = "sp",
+    dp_axis: Optional[str] = None,
+):
+    """Full llama forward with the sequence dim sharded over `sp_axis`.
+
+    tokens [B, S] with S % sp == 0. Weights/FQ state replicated (tp within
+    a chunk belongs to the GSPMD path). Returns fp32 logits [B, S, V]
+    sharded P(dp, sp, None) — the same values as `llama_forward` up to
+    softmax accumulation order.
+    """
+    from flatquant_tpu.models.llama import llama_forward
+
+    B, S = tokens.shape
+    sp = mesh.shape[sp_axis]
+    assert S % sp == 0, (S, sp)
+    Sl = S // sp
+    sm_scale = 1.0 / float(np.sqrt(cfg.head_dim))
+
+    def body(params, fq, tokens_local):
+        idx = jax.lax.axis_index(sp_axis)
+        positions = idx * Sl + jnp.arange(Sl)
+        attn = functools.partial(
+            ring_attention, sm_scale=sm_scale, axis_name=sp_axis
+        )
+        return llama_forward(
+            cfg, params, tokens_local, fq=fq, fq_cfg=fq_cfg, mode=mode,
+            compute_dtype=compute_dtype, positions=positions, attn_fn=attn,
+        )
+
+    return jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(), P(), P(dp_axis, sp_axis)),
+        out_specs=P(dp_axis, sp_axis, None),
+        check_vma=False,
+    )(params, fq, tokens)

@@ -1,0 +1,64 @@
+"""Sequence-parallel (ring attention) vs single-device forward parity."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from flatquant_tpu.models.config import get_config
+from flatquant_tpu.models.llama import init_params, llama_forward
+from flatquant_tpu.parallel.mesh import make_mesh
+from flatquant_tpu.parallel.sequence import ring_attention, sp_llama_forward
+from flatquant_tpu.quantize.spec import W4A4KV4
+from flatquant_tpu.quantize.state import init_model_fq
+
+
+def _toks(cfg, B, S, seed=0):
+    return jnp.asarray(
+        np.random.default_rng(seed).integers(0, cfg.vocab_size, (B, S)),
+        jnp.int32,
+    )
+
+
+def test_ring_attention_matches_dense():
+    from flatquant_tpu.kernels.prefill_attention import dense_causal_attention
+
+    B, S, nh, nkv, hd = 2, 64, 4, 2, 16
+    rng = np.random.default_rng(1)
+    q = jnp.asarray(rng.standard_normal((B, S, nh, hd)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, S, nkv, hd)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, S, nkv, hd)), jnp.float32)
+    sm = 1.0 / float(np.sqrt(hd))
+
+    mesh = make_mesh({"sp": 8})
+    from jax.sharding import PartitionSpec as P
+
+    out = jax.shard_map(
+        lambda q, k, v: ring_attention(q, k, v, sm, "sp"),
+        mesh=mesh,
+        in_specs=(P(None, "sp"), P(None, "sp"), P(None, "sp")),
+        out_specs=P(None, "sp"),
+        check_vma=False,
+    )(q, k, v)
+    ref = dense_causal_attention(q, k, v, sm, compute_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+@pytest.mark.parametrize("mode", ["fp", "eval"])
+def test_sp_forward_matches_sequential(mode):
+    cfg = dataclasses.replace(get_config("tiny-llama"), num_layers=2)
+    params = init_params(cfg, seed=0)
+    fq_cfg = W4A4KV4
+    fq = init_model_fq(cfg, fq_cfg, seed=0) if mode == "eval" else None
+    toks = _toks(cfg, 2, 32)
+
+    ref = llama_forward(cfg, params, toks, fq=fq, fq_cfg=fq_cfg, mode=mode,
+                        compute_dtype=jnp.float32)
+    mesh = make_mesh({"dp": 2, "sp": 4})
+    out = sp_llama_forward(cfg, params, toks, mesh, fq=fq, fq_cfg=fq_cfg,
+                           mode=mode, compute_dtype=jnp.float32,
+                           dp_axis="dp")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
