@@ -90,39 +90,42 @@ def device_compare(cases: Dict[str, Tuple[Callable, tuple]], iters: int = 10,
         jax.block_until_ready(f(*args))  # warm/compile outside the trace
         jitted[name] = (f, args)
 
-    shutil.rmtree(trace_dir, ignore_errors=True)
-    os.makedirs(trace_dir, exist_ok=True)
-    jax.profiler.start_trace(trace_dir)
-    out = None
-    for name, (f, args) in jitted.items():
+    def _trace_jit_total(case_dir, f, args):
+        """Run one case under its own trace; return (total_us, n_events)
+        over all jit_ executables seen. One trace PER CASE because XLA
+        dedupes structurally identical jits into a single executable that
+        carries the *first* function's name — name-matching in a shared
+        trace silently merges such cases (observed: QuaRot-vs-FlatQuant
+        transforms at equal Kron shapes)."""
+        jax.profiler.start_trace(case_dir)
+        out = None
         for _ in range(iters):
             out = f(*args)
         jax.block_until_ready(out)
-    jax.profiler.stop_trace()
+        jax.profiler.stop_trace()
+        tr = sorted(glob.glob(os.path.join(case_dir, "**", "*.trace.json.gz"),
+                              recursive=True))[-1]
+        with gzip.open(tr) as fh:
+            data = json.load(fh)
+        pids = {e["pid"]: e["args"].get("name", "") for e in data["traceEvents"]
+                if e.get("ph") == "M" and e.get("name") == "process_name"}
+        total = 0.0
+        n = 0
+        for e in data["traceEvents"]:
+            if (e.get("ph") == "X" and "dur" in e
+                    and "TPU" in pids.get(e["pid"], "")
+                    and e["name"].startswith("jit_")):
+                total += e["dur"]
+                n += 1
+        return total, n
 
-    tr = sorted(glob.glob(os.path.join(trace_dir, "**", "*.trace.json.gz"),
-                          recursive=True))[-1]
-    with gzip.open(tr) as fh:
-        data = json.load(fh)
-    pids = {e["pid"]: e["args"].get("name", "") for e in data["traceEvents"]
-            if e.get("ph") == "M" and e.get("name") == "process_name"}
-    durs = collections.defaultdict(float)
-    for e in data["traceEvents"]:
-        if e.get("ph") == "X" and "dur" in e and "TPU" in pids.get(e["pid"], ""):
-            durs[e["name"]] += e["dur"]
+    shutil.rmtree(trace_dir, ignore_errors=True)
     results = {}
-    for name in cases:
-        # jit events are named jit_<wrapped fn name>(...); match by prefix
-        total = sum(d for evname, d in durs.items() if evname.startswith("jit_"))
-        mine = [d for evname, d in durs.items()
-                if name in evname and evname.startswith("jit_")]
-        if not mine:
-            # fall back: jit of a lambda is jit_<lambda>; use ordering-free
-            # match on the wrapped callable's __name__
-            fn_name = cases[name][0].__name__
-            mine = [d for evname, d in durs.items()
-                    if evname.startswith("jit_") and fn_name in evname]
-        results[name] = (mine[0] / iters / 1e6) if mine else float("nan")
+    for name, (f, args) in jitted.items():
+        case_dir = os.path.join(trace_dir, name.replace(" ", "_"))
+        os.makedirs(case_dir, exist_ok=True)
+        total, n = _trace_jit_total(case_dir, f, args)
+        results[name] = (total / n / 1e6) if n else float("nan")
     return results
 
 
