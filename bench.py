@@ -43,6 +43,7 @@ from flatquant_tpu.serving.engine import (
     init_cache,
     serving_decode_step,
     serving_prefill,
+    unstack_cache,
     unstack_serving_layers,
 )
 from flatquant_tpu.serving.quantized import build_serving_params
@@ -121,8 +122,10 @@ def main():
         partial(_decode_loop_bf16, cfg, n_steps=N_STEPS, max_len=MAX_LEN)
     )
 
-    cache_q = init_cache(cfg, BATCH, MAX_LEN)
-    cache_b = init_cache(cfg, BATCH, MAX_LEN)
+    # tuple-valued caches: no per-step full-cache stack copy (in-place
+    # aliased one-token updates) — see engine.unstack_cache
+    cache_q = unstack_cache(init_cache(cfg, BATCH, MAX_LEN))
+    cache_b = unstack_cache(init_cache(cfg, BATCH, MAX_LEN))
     # warmup / compile
     t0 = time.perf_counter()
     float(quant_loop(sp, tok, cache_q, pos))
@@ -170,8 +173,8 @@ def main():
         _, acc = jax.lax.fori_loop(0, N_PRE, body, (ptoks, 0.0))
         return acc
 
-    cache_pq = init_cache(cfg, BATCH, S_PRE)
-    cache_pb = init_cache(cfg, BATCH, S_PRE)
+    cache_pq = unstack_cache(init_cache(cfg, BATCH, S_PRE))
+    cache_pb = unstack_cache(init_cache(cfg, BATCH, S_PRE))
     float(quant_prefill_loop(sp, ptoks0, cache_pq))
     float(bf16_prefill_loop(bp, ptoks0, cache_pb))
     tpq = tpb = float("inf")

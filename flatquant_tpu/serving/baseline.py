@@ -90,7 +90,11 @@ def _forward(cfg, bp, tokens, cache, pos, phase, max_len):
     cos, sin = rope_tables(cfg, jnp.arange(max_len))
 
     if isinstance(bp["layers"], (list, tuple)):
-        # unrolled (see serving.engine: avoids scan's weight slice-copies)
+        # unrolled (see serving.engine: avoids scan's weight slice-copies);
+        # tuple-valued caches (engine.unstack_cache) round-trip without the
+        # per-step jnp.stack full-cache copy, same as the quant engine
+        tup = isinstance(cache["k"], (list, tuple))
+        repack = (lambda xs: tuple(xs)) if tup else jnp.stack
         cks, cvs = [], []
         for i, lp in enumerate(bp["layers"]):
             x, ck_i, cv_i = _layer(cfg, lp, x, cos, sin, cache["k"][i],
@@ -98,7 +102,7 @@ def _forward(cfg, bp, tokens, cache, pos, phase, max_len):
             cks.append(ck_i); cvs.append(cv_i)
         x = rms_norm(x, bp["final_norm_w"], cfg.rms_eps)
         logits = jnp.matmul(x[:, -1], bp["lm_head"].T.astype(x.dtype))
-        return logits.astype(jnp.float32), {"k": jnp.stack(cks), "v": jnp.stack(cvs)}
+        return logits.astype(jnp.float32), {"k": repack(cks), "v": repack(cvs)}
 
     def body(carry, xs):
         lp, ck, cv = xs

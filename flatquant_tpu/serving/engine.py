@@ -60,6 +60,18 @@ def init_cache(cfg: LlamaConfig, batch: int, max_len: int, dtype=jnp.bfloat16,
     return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
 
 
+def unstack_cache(cache: dict) -> dict:
+    """Per-layer tuple cache for the unrolled layer loop.
+
+    The stacked [L, ...] cache forces the unrolled path to jnp.stack the
+    new per-layer caches back each step — a full-cache copy per decode
+    token that also blocks XLA from aliasing the one-token
+    dynamic-update-slice in place. Tuples keep each layer's buffer an
+    independent loop-carried array: the update aliases, the copy
+    disappears."""
+    return {k: tuple(v[i] for i in range(v.shape[0])) for k, v in cache.items()}
+
+
 def _rotate_half_rope(x):
     half = x.shape[-1] // 2
     return jnp.concatenate([-x[..., half:], x[..., :half]], axis=-1)
@@ -367,6 +379,11 @@ def _forward(cfg, fq_cfg, sp, tokens, cache, pos, phase, use_kernel, max_len,
         # an extra full weight read+write). Compile time grows with depth;
         # use for latency-critical serving of moderate-depth models.
         n_layers = len(sp["layers"])
+        # a tuple-valued cache (unstack_cache) round-trips per-layer
+        # buffers without the end-of-step jnp.stack — the one-token
+        # dynamic-update-slice then aliases in place across loop steps
+        tup = isinstance(next(iter(cache.values())), (list, tuple))
+        repack = (lambda xs: tuple(xs)) if tup else jnp.stack
         if "kp" in cache:
             kps, kpars, vps, vpars = [], [], [], []
             for i, sl in enumerate(sp["layers"]):
@@ -380,8 +397,8 @@ def _forward(cfg, fq_cfg, sp, tokens, cache, pos, phase, use_kernel, max_len,
             x = rms_norm(x, sp["final_norm_w"], cfg.rms_eps)
             logits = jnp.matmul(_last_hidden(x, last_idx), sp["lm_head"].T.astype(x.dtype))
             return logits.astype(jnp.float32), {
-                "kp": jnp.stack(kps), "kparam": jnp.stack(kpars),
-                "vp": jnp.stack(vps), "vparam": jnp.stack(vpars),
+                "kp": repack(kps), "kparam": repack(kpars),
+                "vp": repack(vps), "vparam": repack(vpars),
             }
         cks, cvs = [], []
         for i, sl in enumerate(sp["layers"]):
@@ -392,7 +409,7 @@ def _forward(cfg, fq_cfg, sp, tokens, cache, pos, phase, use_kernel, max_len,
             cks.append(ck_i); cvs.append(cv_i)
         x = rms_norm(x, sp["final_norm_w"], cfg.rms_eps)
         logits = jnp.matmul(_last_hidden(x, last_idx), sp["lm_head"].T.astype(x.dtype))
-        return logits.astype(jnp.float32), {"k": jnp.stack(cks), "v": jnp.stack(cvs)}
+        return logits.astype(jnp.float32), {"k": repack(cks), "v": repack(cvs)}
 
     if "kp" in cache:  # packed int4 cache mode
         assert fq_cfg.k_cfg.enabled and fq_cfg.v_cfg.enabled, (

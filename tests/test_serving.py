@@ -219,3 +219,33 @@ def test_unrolled_layers_match_scan(served):
     d2, _ = serving_decode_step(cfg, fq_cfg, spu, nxt, c2, jnp.int32(8),
                                 use_kernel=False, max_len=16, compute_dtype=jnp.float32)
     np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))
+
+
+def test_tuple_cache_matches_stacked(served):
+    """unstack_cache tuples round-trip through the unrolled path with the
+    same numbers as the stacked cache (both cache modes, prefill+decode)."""
+    from flatquant_tpu.serving.engine import unstack_cache, unstack_serving_layers
+
+    cfg, fq_cfg, sp, _, _ = served
+    spu = unstack_serving_layers(sp)
+    toks = np.random.default_rng(7).integers(0, cfg.vocab_size, (1, 8)).astype(np.int32)
+    l1, c1 = serving_prefill(cfg, fq_cfg, spu, jnp.asarray(toks),
+                             init_cache(cfg, 1, 16, dtype=jnp.float32),
+                             use_kernel=False, max_len=16, compute_dtype=jnp.float32)
+    l2, c2 = serving_prefill(cfg, fq_cfg, spu, jnp.asarray(toks),
+                             unstack_cache(init_cache(cfg, 1, 16, dtype=jnp.float32)),
+                             use_kernel=False, max_len=16, compute_dtype=jnp.float32)
+    assert isinstance(c2["k"], tuple) and len(c2["k"]) == cfg.num_layers
+    # distinct pytree structures compile separately; XLA fusion choices can
+    # differ by 1 ulp at fp32 — allclose, not array_equal
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), atol=1e-5)
+    nxt = jnp.argmax(l2, -1)[:, None].astype(jnp.int32)
+    d1, c1b = serving_decode_step(cfg, fq_cfg, spu, nxt, c1, jnp.int32(8),
+                                  use_kernel=False, max_len=16, compute_dtype=jnp.float32)
+    d2, c2b = serving_decode_step(cfg, fq_cfg, spu, nxt, c2, jnp.int32(8),
+                                  use_kernel=False, max_len=16, compute_dtype=jnp.float32)
+    assert isinstance(c2b["k"], tuple)
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), atol=1e-4)
+    for i in range(cfg.num_layers):
+        np.testing.assert_allclose(np.asarray(c1b["k"][i]),
+                                   np.asarray(c2b["k"][i]), atol=1e-6)
