@@ -107,18 +107,44 @@ def ds_config_from_hf_json(path: str, name: str = "deepseek-hf",
     return DeepSeekConfig(**kw)
 
 
-def _iter_hf_tensors(path: str):
+def _iter_hf_tensors(path: str, use_native: bool = True):
     """Yield (name, numpy fp32/int array) from all shards, fusing
-    `weight_scale_inv` into its fp8 weight via fp8_block_dequant."""
-    import torch
+    `weight_scale_inv` into its fp8 weight via fp8_block_dequant.
 
+    Default path: the torch-free mmap reader + threaded C++ converters
+    (native/safetensors_io.py) — fp8 bytes dequantize straight off the
+    mmap in one fused pass. Fallback: safetensors.safe_open + torch as a
+    dtype bridge (the only numpy-visible route to float8)."""
     files = sorted(glob.glob(os.path.join(path, "*.safetensors")))
     if not files:
         raise FileNotFoundError(f"no *.safetensors under {path}")
+
+    if use_native:
+        from flatquant_tpu.native.safetensors_io import SafetensorsFile
+
+        # first pass: collect scale tensors so fp8 weights pair with them
+        scales: Dict[str, np.ndarray] = {}
+        for f in files:
+            with SafetensorsFile(f) as sf:
+                for nm in sf.keys():
+                    if nm.endswith(".weight_scale_inv"):
+                        scales[nm] = sf.tensor_f32(nm)
+        for f in files:
+            with SafetensorsFile(f) as sf:
+                for nm in sf.keys():
+                    if nm.endswith(".weight_scale_inv"):
+                        continue
+                    snm = nm + "_scale_inv"
+                    if snm in scales:
+                        yield nm, sf.fp8_tensor_dequant(nm, scales[snm])
+                    else:
+                        yield nm, sf.tensor_f32(nm)
+        return
+
+    import torch
     from safetensors import safe_open
 
-    # first pass: collect scale names so fp8 weights can pair with them
-    scales: Dict[str, np.ndarray] = {}
+    scales = {}
     for f in files:
         with safe_open(f, framework="pt") as sf:
             for nm in sf.keys():
