@@ -49,9 +49,14 @@ class FQConfig:
     warmup: bool = False
     deactive_amp: bool = False
 
-    # quantizer master switch (set_quantizer_state analog — flatness evals
-    # run transforms with quantization disabled, quant_utils.py:232-238)
+    # quantizer switches (set_quantizer_state / set_weight_quantizer_state /
+    # set_act_quantizer_state analogs, quant_utils.py:232-250 — flatness
+    # evals run transforms with quantization disabled; W-only/A-only
+    # ablations toggle one kind). The act switch covers a/q/k/v, matching
+    # the reference's ActivationQuantizer coverage.
     quant_enabled: bool = True
+    weight_quant_enabled: bool = True
+    act_quant_enabled: bool = True
 
     # gptq
     gptq: bool = False
@@ -63,13 +68,13 @@ class FQConfig:
     def quantize(self) -> bool:
         return min(self.w_bits, self.a_bits, self.q_bits, self.k_bits, self.v_bits) < 16
 
-    def _bits(self, b: int) -> int:
-        return b if self.quant_enabled else 16
+    def _bits(self, b: int, kind_enabled: bool = True) -> int:
+        return b if (self.quant_enabled and kind_enabled) else 16
 
     @property
     def w_cfg(self) -> WeightQuantCfg:
         return WeightQuantCfg(
-            bits=self._bits(self.w_bits),
+            bits=self._bits(self.w_bits, self.weight_quant_enabled),
             sym=not self.w_asym,
             perchannel=True,
             group_size=self.w_groupsize,
@@ -79,7 +84,7 @@ class FQConfig:
     @property
     def a_cfg(self) -> ActQuantCfg:
         return ActQuantCfg(
-            bits=self._bits(self.a_bits),
+            bits=self._bits(self.a_bits, self.act_quant_enabled),
             sym=not self.a_asym,
             lac=self.lac,
             group_size=self.a_groupsize,
@@ -87,19 +92,40 @@ class FQConfig:
 
     @property
     def q_cfg(self) -> ActQuantCfg:
-        return ActQuantCfg(bits=self._bits(self.q_bits), sym=not self.q_asym, lac=self.lac)
+        return ActQuantCfg(
+            bits=self._bits(self.q_bits, self.act_quant_enabled),
+            sym=not self.q_asym, lac=self.lac)
 
     @property
     def k_cfg(self) -> ActQuantCfg:
         return ActQuantCfg(
-            bits=self._bits(self.k_bits), sym=not self.k_asym, lac=self.lac, group_size=self.k_groupsize
+            bits=self._bits(self.k_bits, self.act_quant_enabled),
+            sym=not self.k_asym, lac=self.lac, group_size=self.k_groupsize
         )
 
     @property
     def v_cfg(self) -> ActQuantCfg:
         return ActQuantCfg(
-            bits=self._bits(self.v_bits), sym=not self.v_asym, lac=self.lac, group_size=self.v_groupsize
+            bits=self._bits(self.v_bits, self.act_quant_enabled),
+            sym=not self.v_asym, lac=self.lac, group_size=self.v_groupsize
         )
+
+
+def set_quantizer_state(cfg: FQConfig, enable: bool = True) -> FQConfig:
+    """All quantizers on/off (quant_utils.py:232-238 analog). Pure: returns
+    a new FQConfig; jitted forwards specialize on it as a static arg."""
+    return dataclasses.replace(cfg, quant_enabled=enable)
+
+
+def set_weight_quantizer_state(cfg: FQConfig, enable: bool = True) -> FQConfig:
+    """Weight quantizers only (quant_utils.py:239-245 analog)."""
+    return dataclasses.replace(cfg, weight_quant_enabled=enable)
+
+
+def set_act_quantizer_state(cfg: FQConfig, enable: bool = True) -> FQConfig:
+    """Activation (incl. q/k/v cache) quantizers only
+    (quant_utils.py:246-250 analog)."""
+    return dataclasses.replace(cfg, act_quant_enabled=enable)
 
 
 # the headline W4A4KV4 recipe (scripts/llama-3/llama-3-8b/w4a4kv4.sh)

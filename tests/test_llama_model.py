@@ -116,3 +116,38 @@ def test_rope_llama31_scaling():
     assert cos31.shape == (64, 128)
     # scaling must change low-frequency components
     assert float(jnp.max(jnp.abs(cos31 - cos3))) > 1e-3
+
+
+def test_per_kind_quantizer_switches(tiny):
+    """set_weight_quantizer_state / set_act_quantizer_state must equal the
+    explicit 16-bit configs (quant_utils.py:239-250 parity: disabling one
+    quantizer kind leaves the other kind's error intact)."""
+    import dataclasses as dc
+
+    from flatquant_tpu.quantize.spec import (
+        set_act_quantizer_state,
+        set_quantizer_state,
+        set_weight_quantizer_state,
+    )
+
+    cfg, params, tokens = tiny
+    fq = init_model_fq(cfg, W4A4KV4, seed=0)
+
+    def fwd(fc):
+        return llama_forward(cfg, params, tokens, fq=fq, fq_cfg=fc,
+                             mode="calib", compute_dtype=jnp.float32)
+
+    w_only = fwd(set_act_quantizer_state(W4A4KV4, False))
+    w_only_explicit = fwd(dc.replace(W4A4KV4, a_bits=16, q_bits=16,
+                                     k_bits=16, v_bits=16))
+    np.testing.assert_array_equal(w_only, w_only_explicit)
+
+    a_only = fwd(set_weight_quantizer_state(W4A4KV4, False))
+    a_only_explicit = fwd(dc.replace(W4A4KV4, w_bits=16))
+    np.testing.assert_array_equal(a_only, a_only_explicit)
+
+    # kinds differ from each other and from all-off
+    off = fwd(set_quantizer_state(W4A4KV4, False))
+    assert float(jnp.max(jnp.abs(w_only - a_only))) > 1e-5
+    assert float(jnp.max(jnp.abs(w_only - off))) > 1e-5
+    assert float(jnp.max(jnp.abs(a_only - off))) > 1e-5
