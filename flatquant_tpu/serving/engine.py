@@ -35,6 +35,7 @@ from flatquant_tpu.serving.quantized import (
     _quant_linear,
     dequantize_kv,
     kron_transform,
+    kron_transform_perm,
     quantize_kv_asym,
 )
 
@@ -121,7 +122,9 @@ def serving_layer(
 
     # ---- attention ----
     h = rms_norm(x, sl["ln1_w"], cfg.rms_eps)
-    if "ln_t" in sl:
+    if "ln_tp" in sl:  # one-copy transposed-output form (perm weights)
+        h = kron_transform_perm(h, sl["ln_tp"])
+    elif "ln_t" in sl:
         h = kron_transform(h, sl["ln_t"])
     if "qkv" in sl:  # merged projection: one quant + one GEMM
         qkv = qlin(h, sl["qkv"], sl.get("bqkv"))
@@ -216,7 +219,9 @@ def serving_layer(
 
     # ---- mlp ----
     h2 = rms_norm(x, sl["ln2_w"], cfg.rms_eps)
-    if "ug_t" in sl:
+    if "ug_tp" in sl:
+        h2 = kron_transform_perm(h2, sl["ug_tp"])
+    elif "ug_t" in sl:
         h2 = kron_transform(h2, sl["ug_t"])
     if "upgate" in sl:
         ug = qlin(h2, sl["upgate"])
@@ -225,7 +230,9 @@ def serving_layer(
         up = qlin(h2, sl["up"])
         gate = qlin(h2, sl["gate"])
     act = jax.nn.silu(gate) * up
-    if "down_t" in sl:
+    if "down_tp" in sl:
+        act = kron_transform_perm(act, sl["down_tp"])
+    elif "down_t" in sl:
         act = kron_transform(act, sl["down_t"])
     x = x + qlin(act, sl["down"])
     return x, ck, cv
@@ -249,7 +256,8 @@ def serving_layer_int4cache(
         pack_kv_transposed,
         untranspose_kv,
     )
-    from flatquant_tpu.serving.quantized import _quant_linear, kron_transform
+    from flatquant_tpu.serving.quantized import (
+        _quant_linear, kron_transform, kron_transform_perm)
 
     B, S, H = x.shape
     nh, nkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
@@ -262,7 +270,9 @@ def serving_layer_int4cache(
         return y
 
     h = rms_norm(x, sl["ln1_w"], cfg.rms_eps)
-    if "ln_t" in sl:
+    if "ln_tp" in sl:  # one-copy transposed-output form (perm weights)
+        h = kron_transform_perm(h, sl["ln_tp"])
+    elif "ln_t" in sl:
         h = kron_transform(h, sl["ln_t"])
     if "qkv" in sl:
         qkv = qlin(h, sl["qkv"], sl.get("bqkv"))
@@ -343,7 +353,9 @@ def serving_layer_int4cache(
     x = x + qlin(attn, sl["o"])
 
     h2 = rms_norm(x, sl["ln2_w"], cfg.rms_eps)
-    if "ug_t" in sl:
+    if "ug_tp" in sl:
+        h2 = kron_transform_perm(h2, sl["ug_tp"])
+    elif "ug_t" in sl:
         h2 = kron_transform(h2, sl["ug_t"])
     if "upgate" in sl:
         ug = qlin(h2, sl["upgate"])
@@ -352,7 +364,9 @@ def serving_layer_int4cache(
         up = qlin(h2, sl["up"])
         gate = qlin(h2, sl["gate"])
     act = jax.nn.silu(gate) * up
-    if "down_t" in sl:
+    if "down_tp" in sl:
+        act = kron_transform_perm(act, sl["down_tp"])
+    elif "down_t" in sl:
         act = kron_transform(act, sl["down_t"])
     x = x + qlin(act, sl["down"])
     return x, kp, kparam, vp, vparam

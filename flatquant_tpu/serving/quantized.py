@@ -76,6 +76,7 @@ def build_serving_params(
     dtype=jnp.bfloat16,
     merge_projections: bool = False,
     eval_params: Optional[dict] = None,
+    perm_transforms: bool = False,
 ) -> dict:
     """Convert a reparameterized (bake_model, NOT rtn-quantized) model into
     the packed serving format. Stacked over layers like the fp params.
@@ -90,7 +91,13 @@ def build_serving_params(
     eval_params: the output of gptq_model / rtn_quantize_params. When
     given, the packed integer codes come from these on-grid weights
     (preserving GPTQ error feedback) while scales still come from
-    baked_params — the combination the quantized eval path actually used."""
+    baked_params — the combination the quantized eval path actually used.
+
+    perm_transforms=True stores Kronecker transforms in the one-copy
+    transposed-output form (kron_transform_perm) and permutes the
+    matching packed weights' input channels to compensate — identical
+    results, less prefill glue traffic. The serving production default;
+    leave False to compare layouts."""
     assert fq_cfg.w_cfg.sym and fq_cfg.w_cfg.group_size <= 0, (
         "real-quant path currently supports symmetric per-channel weights "
         "(the reference CUTLASS path has the same restriction, REALQUANT.md)"
@@ -104,36 +111,55 @@ def build_serving_params(
             "ln1_w": lp["ln1_w"].astype(jnp.float32),
             "ln2_w": lp["ln2_w"].astype(jnp.float32),
         }
+        # transform matrices first (baked, diag already folded into
+        # norms): their factor shapes drive the optional input-channel
+        # permutation of the packed weights below
+        ln_pair = ug_pair = down_pair = None
+        if a.ln_trans is not None:
+            left, right = decompose_matrices(a.ln_trans)
+            ln_pair = (left.astype(dtype), right.astype(dtype))
+            out["ln_tp" if perm_transforms else "ln_t"] = ln_pair
+        if m.up_gate_trans is not None:
+            left, right = decompose_matrices(m.up_gate_trans)
+            ug_pair = (left.astype(dtype), right.astype(dtype))
+            out["ug_tp" if perm_transforms else "ug_t"] = ug_pair
+        if m.down_trans is not None:
+            left, right = decompose_matrices(m.down_trans)
+            down_pair = (left.astype(dtype), right.astype(dtype))
+            out["down_tp" if perm_transforms else "down_t"] = down_pair
+
+        def maybe_perm(w, pair):
+            if not perm_transforms or pair is None:
+                return w
+            return _perm_in_channels(w, pair[0].shape[0], pair[1].shape[0])
+
         if merge_projections:
             qkv_w = jnp.concatenate([lp["wq"], lp["wk"], lp["wv"]], axis=0)
             qkv_q = jnp.concatenate([elp["wq"], elp["wk"], elp["wv"]], axis=0)
-            out["qkv"] = _pack_linear(qkv_w, w_cfg, qkv_q)
+            out["qkv"] = _pack_linear(maybe_perm(qkv_w, ln_pair), w_cfg,
+                                      maybe_perm(qkv_q, ln_pair))
             ug_w = jnp.concatenate([lp["wup"], lp["wgate"]], axis=0)
             ug_q = jnp.concatenate([elp["wup"], elp["wgate"]], axis=0)
-            out["upgate"] = _pack_linear(ug_w, w_cfg, ug_q)
+            out["upgate"] = _pack_linear(maybe_perm(ug_w, ug_pair), w_cfg,
+                                         maybe_perm(ug_q, ug_pair))
             out["o"] = _pack_linear(lp["wo"], w_cfg, elp["wo"])
-            out["down"] = _pack_linear(lp["wdown"], w_cfg, elp["wdown"])
+            out["down"] = _pack_linear(maybe_perm(lp["wdown"], down_pair),
+                                       w_cfg, maybe_perm(elp["wdown"], down_pair))
             if lp.get("bq") is not None:
                 out["bqkv"] = jnp.concatenate(
                     [lp["bq"], lp["bk"], lp["bv"]], axis=0
                 ).astype(jnp.float32)
         else:
+            perm_of = {"wq": ln_pair, "wk": ln_pair, "wv": ln_pair,
+                       "wo": None, "wup": ug_pair, "wgate": ug_pair,
+                       "wdown": down_pair}
             for name, key in (("q", "wq"), ("k", "wk"), ("v", "wv"), ("o", "wo"),
                               ("up", "wup"), ("gate", "wgate"), ("down", "wdown")):
-                out[name] = _pack_linear(lp[key], w_cfg, elp[key])
+                out[name] = _pack_linear(maybe_perm(lp[key], perm_of[key]), w_cfg,
+                                         maybe_perm(elp[key], perm_of[key]))
             for bkey in ("bq", "bk", "bv"):
                 if lp.get(bkey) is not None:
                     out[bkey] = lp[bkey].astype(jnp.float32)
-        # transform matrices (baked, diag already folded into norms)
-        if a.ln_trans is not None:
-            left, right = decompose_matrices(a.ln_trans)
-            out["ln_t"] = (left.astype(dtype), right.astype(dtype))
-        if m.up_gate_trans is not None:
-            left, right = decompose_matrices(m.up_gate_trans)
-            out["ug_t"] = (left.astype(dtype), right.astype(dtype))
-        if m.down_trans is not None:
-            left, right = decompose_matrices(m.down_trans)
-            out["down_t"] = (left.astype(dtype), right.astype(dtype))
         if a.o_trans is not None:
             out["o_t"] = single_matrix(a.o_trans).astype(dtype)
         if a.kcache_trans is not None:
@@ -186,6 +212,36 @@ def kron_transform(x, left_right):
     xm = jnp.matmul(xm, right)
     xm = jnp.matmul(left.T, xm)
     return xm.reshape(shape)
+
+
+def kron_transform_perm(x, left_right):
+    """kron_transform with the output channels in transposed (j*ln+i)
+    order: y'[t, j*ln+i] = (x @ kron(left, right))[t, i*rn+j].
+
+    Why: the standard form's second contraction (over ln, the middle dim
+    of [T, ln, rn]) makes XLA lay the operand out twice — a copy in AND a
+    copy out (device-traced ~130 us each at the 11008 inter dim, S=2048).
+    Contracting ln as the *minor* dim instead needs only the one explicit
+    transpose and leaves the output in (j, i) order. Per-token
+    quantization is permutation-invariant and the downstream packed
+    weight's input channels are permuted once at build time
+    (_perm_in_channels), so end-to-end results are unchanged — this is a
+    pure layout-copy elimination for the serving hot path."""
+    left, right = left_right
+    shape = x.shape
+    ln, rn = left.shape[0], right.shape[0]
+    xm = x.reshape(-1, ln, rn).astype(left.dtype)
+    xm = jnp.matmul(xm, right)      # [T, ln, rn]: contract rn (minor)
+    xm = xm.swapaxes(1, 2)          # the single layout copy -> [T, rn, ln]
+    xm = jnp.matmul(xm, left)       # contract ln (minor): y'[t, j, i]
+    return xm.reshape(shape)
+
+
+def _perm_in_channels(w, ln: int, rn: int):
+    """Permute a weight's [out, in] input channels from standard (i*rn+j)
+    to the transposed (j*ln+i) order kron_transform_perm emits."""
+    out = w.shape[0]
+    return w.reshape(out, ln, rn).swapaxes(1, 2).reshape(out, ln * rn)
 
 
 def _quant_linear(x2d, lin, use_kernel: bool, out_dtype=jnp.bfloat16):

@@ -249,3 +249,58 @@ def test_tuple_cache_matches_stacked(served):
     for i in range(cfg.num_layers):
         np.testing.assert_allclose(np.asarray(c1b["k"][i]),
                                    np.asarray(c2b["k"][i]), atol=1e-6)
+
+
+def test_perm_transforms_match_standard(served):
+    """perm_transforms=True (one-copy transposed-output Kron + permuted
+    packed weight input channels) must reproduce the standard layout's
+    prefill and decode results — it is a pure layout change."""
+    cfg, fq_cfg, sp, eval_params, baked_fq = served
+    params = init_params(cfg, seed=0)
+    params["lm_head"] = params["lm_head"] * 6.0
+    fq = init_model_fq(cfg, fq_cfg, seed=0)
+    baked_params, bfq = bake_model(cfg, fq_cfg, params, fq)
+    sp_perm = build_serving_params(cfg, fq_cfg, baked_params, bfq,
+                                   dtype=jnp.float32, perm_transforms=True)
+    assert any(k.endswith("_tp") for k in sp_perm["layers"].keys())
+    toks = np.random.default_rng(1).integers(0, cfg.vocab_size, (2, 16)).astype(np.int32)
+
+    def run(spx):
+        cache = init_cache(cfg, 2, 24, dtype=jnp.float32)
+        logits, cache = serving_prefill(
+            cfg, fq_cfg, spx, jnp.asarray(toks), cache, use_kernel=False,
+            max_len=24, compute_dtype=jnp.float32)
+        tok = jnp.argmax(logits, -1)[:, None].astype(jnp.int32)
+        logits2, _ = serving_decode_step(
+            cfg, fq_cfg, spx, tok, cache, jnp.int32(16), use_kernel=False,
+            max_len=24, compute_dtype=jnp.float32)
+        return np.asarray(logits), np.asarray(logits2)
+
+    a1, a2 = run(sp)
+    b1, b2 = run(sp_perm)
+    np.testing.assert_allclose(a1, b1, atol=2e-4, rtol=1e-4)
+    np.testing.assert_allclose(a2, b2, atol=2e-4, rtol=1e-4)
+
+
+def test_perm_transforms_merged_and_int4cache():
+    """perm layout under merged projections + the packed int4 cache."""
+    cfg = get_config("tiny-llama")
+    params = init_params(cfg, seed=2)
+    fq_cfg = W4A4KV4
+    fq = init_model_fq(cfg, fq_cfg, seed=2)
+    baked_params, bfq = bake_model(cfg, fq_cfg, params, fq)
+    sps = {
+        perm: build_serving_params(cfg, fq_cfg, baked_params, bfq,
+                                   dtype=jnp.float32,
+                                   merge_projections=True,
+                                   perm_transforms=perm)
+        for perm in (False, True)
+    }
+    prompt = np.random.default_rng(3).integers(0, cfg.vocab_size, (1, 12)).astype(np.int32)
+    outs = {
+        perm: generate(cfg, fq_cfg, spx, prompt, max_new_tokens=6, max_len=32,
+                       use_kernel=False, cache_mode="int4",
+                       compute_dtype=jnp.float32)
+        for perm, spx in sps.items()
+    }
+    np.testing.assert_array_equal(outs[False], outs[True])
