@@ -37,15 +37,19 @@ _LAYER_MAP = {
 
 
 def _iter_safetensors(path: str):
-    from safetensors import safe_open
+    """Torch-free mmap reader (native/safetensors_io): real HF Llama/Qwen
+    shards are BF16, which the safetensors numpy framework cannot
+    represent — the native reader widens BF16/F16 to f32 via the threaded
+    C++ converters."""
+    from flatquant_tpu.native.safetensors_io import SafetensorsFile
 
     files = sorted(glob.glob(os.path.join(path, "*.safetensors")))
     if not files:
         raise FileNotFoundError(f"no *.safetensors under {path}")
     for f in files:
-        with safe_open(f, framework="np") as sf:
+        with SafetensorsFile(f) as sf:
             for name in sf.keys():
-                yield name, sf.get_tensor(name)
+                yield name, sf.tensor_f32(name)
 
 
 def params_from_named_tensors(items, cfg: LlamaConfig, dtype=jnp.float32) -> dict:

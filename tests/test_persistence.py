@@ -183,3 +183,46 @@ def test_save_reload_matrices_roundtrip():
                         mode="eval", compute_dtype=jnp.float32)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=1e-5, rtol=0)
+
+
+def test_hf_loader_bf16_checkpoint(tmp_path):
+    """Real HF Llama/Qwen shards ship BF16 — the native mmap reader must
+    widen them exactly (safetensors' numpy framework cannot even represent
+    bf16; this used to be a loader blind spot)."""
+    import torch
+    from safetensors.torch import save_file as save_pt
+
+    from flatquant_tpu.models.loader import load_hf_llama
+
+    cfg = get_config("tiny-llama")
+    params = init_params(cfg, seed=4)
+    name_map = {
+        "ln1_w": "input_layernorm.weight",
+        "ln2_w": "post_attention_layernorm.weight",
+        "wq": "self_attn.q_proj.weight",
+        "wk": "self_attn.k_proj.weight",
+        "wv": "self_attn.v_proj.weight",
+        "wo": "self_attn.o_proj.weight",
+        "wgate": "mlp.gate_proj.weight",
+        "wup": "mlp.up_proj.weight",
+        "wdown": "mlp.down_proj.weight",
+    }
+    tensors = {
+        "model.embed_tokens.weight": torch.tensor(
+            np.asarray(params["embed"])).bfloat16(),
+        "model.norm.weight": torch.tensor(
+            np.asarray(params["final_norm_w"])).bfloat16(),
+        "lm_head.weight": torch.tensor(
+            np.asarray(params["lm_head"])).bfloat16(),
+    }
+    for key, hf in name_map.items():
+        arr = np.asarray(params["layers"][key])
+        for i in range(cfg.num_layers):
+            tensors[f"model.layers.{i}.{hf}"] = torch.tensor(arr[i]).bfloat16()
+    save_pt(tensors, str(tmp_path / "model.safetensors"))
+    loaded = load_hf_llama(str(tmp_path), cfg)
+    # bf16 write is lossy; the *read-back widening* must be exact
+    for i in range(cfg.num_layers):
+        want = tensors[f"model.layers.{i}.self_attn.q_proj.weight"].float().numpy()
+        got = np.asarray(loaded["layers"]["wq"][i])
+        assert np.array_equal(got, want)
