@@ -207,7 +207,16 @@ def serving_layer(
         attn = jnp.einsum("bhqk,bkhd->bqhd", probs, v_att.astype(compute_dtype))
 
     # ---- output path ----
-    if "o_t" in sl:
+    if "o_tp" in sl:
+        # transposed-output head mixing: [B,S,t,hd,g] @ [g,g] contracts the
+        # minor dim (one layout copy, vs copy-in + copy-out around the
+        # einsum's middle-dim contraction); flattens to (t, d, i) channel
+        # order, matched by the o weight's permuted input channels
+        o_mat = sl["o_tp"].astype(attn.dtype)
+        g = o_mat.shape[0]
+        attn = jnp.matmul(
+            attn.reshape(B, S, nh // g, g, hd).swapaxes(-2, -1), o_mat)
+    elif "o_t" in sl:
         o_mat = sl["o_t"].astype(attn.dtype)
         g = o_mat.shape[0]
         attn = attn.reshape(B, S, nh // g, g, hd)
@@ -342,7 +351,16 @@ def serving_layer_int4cache(
                 q[:, 0], kpo, kso, kzo, vpo, vso, vzo, valid, sm_scale
             )[:, None]
 
-    if "o_t" in sl:
+    if "o_tp" in sl:
+        # transposed-output head mixing: [B,S,t,hd,g] @ [g,g] contracts the
+        # minor dim (one layout copy, vs copy-in + copy-out around the
+        # einsum's middle-dim contraction); flattens to (t, d, i) channel
+        # order, matched by the o weight's permuted input channels
+        o_mat = sl["o_tp"].astype(attn.dtype)
+        g = o_mat.shape[0]
+        attn = jnp.matmul(
+            attn.reshape(B, S, nh // g, g, hd).swapaxes(-2, -1), o_mat)
+    elif "o_t" in sl:
         o_mat = sl["o_t"].astype(attn.dtype)
         g = o_mat.shape[0]
         attn = attn.reshape(B, S, nh // g, g, hd)

@@ -128,10 +128,26 @@ def build_serving_params(
             down_pair = (left.astype(dtype), right.astype(dtype))
             out["down_tp" if perm_transforms else "down_t"] = down_pair
 
+        o_mat = None
+        if a.o_trans is not None:
+            o_mat = single_matrix(a.o_trans).astype(dtype)
+            out["o_tp" if perm_transforms else "o_t"] = o_mat
+
         def maybe_perm(w, pair):
             if not perm_transforms or pair is None:
                 return w
             return _perm_in_channels(w, pair[0].shape[0], pair[1].shape[0])
+
+        def maybe_perm_o(w):
+            # o-transform mixes heads within groups of g; the permuted
+            # engine path emits (group, d, i) channel order instead of
+            # (group, i, d) — swap the weight's input channels to match
+            if not perm_transforms or o_mat is None:
+                return w
+            g = o_mat.shape[0]
+            od, ind = w.shape
+            t = ind // (g * cfg.head_dim)
+            return w.reshape(od, t, g, cfg.head_dim).swapaxes(2, 3).reshape(od, ind)
 
         if merge_projections:
             qkv_w = jnp.concatenate([lp["wq"], lp["wk"], lp["wv"]], axis=0)
@@ -142,7 +158,8 @@ def build_serving_params(
             ug_q = jnp.concatenate([elp["wup"], elp["wgate"]], axis=0)
             out["upgate"] = _pack_linear(maybe_perm(ug_w, ug_pair), w_cfg,
                                          maybe_perm(ug_q, ug_pair))
-            out["o"] = _pack_linear(lp["wo"], w_cfg, elp["wo"])
+            out["o"] = _pack_linear(maybe_perm_o(lp["wo"]), w_cfg,
+                                    maybe_perm_o(elp["wo"]))
             out["down"] = _pack_linear(maybe_perm(lp["wdown"], down_pair),
                                        w_cfg, maybe_perm(elp["wdown"], down_pair))
             if lp.get("bq") is not None:
@@ -151,17 +168,16 @@ def build_serving_params(
                 ).astype(jnp.float32)
         else:
             perm_of = {"wq": ln_pair, "wk": ln_pair, "wv": ln_pair,
-                       "wo": None, "wup": ug_pair, "wgate": ug_pair,
-                       "wdown": down_pair}
-            for name, key in (("q", "wq"), ("k", "wk"), ("v", "wv"), ("o", "wo"),
+                       "wup": ug_pair, "wgate": ug_pair, "wdown": down_pair}
+            for name, key in (("q", "wq"), ("k", "wk"), ("v", "wv"),
                               ("up", "wup"), ("gate", "wgate"), ("down", "wdown")):
                 out[name] = _pack_linear(maybe_perm(lp[key], perm_of[key]), w_cfg,
                                          maybe_perm(elp[key], perm_of[key]))
+            out["o"] = _pack_linear(maybe_perm_o(lp["wo"]), w_cfg,
+                                    maybe_perm_o(elp["wo"]))
             for bkey in ("bq", "bk", "bv"):
                 if lp.get(bkey) is not None:
                     out[bkey] = lp[bkey].astype(jnp.float32)
-        if a.o_trans is not None:
-            out["o_t"] = single_matrix(a.o_trans).astype(dtype)
         if a.kcache_trans is not None:
             out["k_t"] = single_matrix(a.kcache_trans).astype(dtype)
             out["k_t_inv"] = single_matrix(a.kcache_trans, inv_t=True).astype(dtype)
