@@ -76,6 +76,10 @@ def parser_gen():
     p.add_argument("--matrix_path", default=None)
     p.add_argument("--save_matrix", action="store_true")
     p.add_argument("--quantized_save", action="store_true", help="export packed int4 safetensors")
+    p.add_argument("--perm_transforms", action="store_true",
+                   help="serving layout: one-copy transposed-output online "
+                        "transforms with weight input channels permuted to "
+                        "match (identical results, less prefill glue)")
     # eval
     p.add_argument("--eval_ppl", action="store_true")
     p.add_argument("--eval_datasets", nargs="+", default=["wikitext2"])
@@ -279,13 +283,15 @@ def main(argv=None):
             from flatquant_tpu.serving.quantized import build_serving_params
 
             sp = build_serving_params(cfg, fq_cfg, baked_params, baked_fq,
-                                      eval_params=eval_params)
+                                      eval_params=eval_params,
+                                      perm_transforms=args.perm_transforms)
             path = ckpt.save_packed_safetensors(
                 exp_dir, sp,
                 quantization_config={
                     "w_bits": fq_cfg.w_bits, "a_bits": fq_cfg.a_bits,
                     "k_bits": fq_cfg.k_bits, "v_bits": fq_cfg.v_bits,
                     "model": args.model, "format": "packed_int4_planar",
+                    "layout": "perm" if args.perm_transforms else "standard",
                 },
             )
             log.info(f"exported packed int4 weights to {path}")
@@ -324,7 +330,8 @@ def main(argv=None):
         from flatquant_tpu.serving.quantized import build_serving_params
 
         sp = build_serving_params(cfg, fq_cfg, baked_params, baked_fq,
-                                  eval_params=eval_params)
+                                  eval_params=eval_params,
+                                  perm_transforms=args.perm_transforms)
         prompt = data.test[:, :16].astype(np.int32)
         toks = generate(cfg, fq_cfg, sp, prompt, max_new_tokens=args.generate_demo,
                         max_len=64, use_kernel=jax.default_backend() == "tpu")

@@ -103,6 +103,7 @@ def test_cli_pipeline_smoke(tmp_path):
         "--w_bits", "4", "--a_bits", "4", "--cali_trans", "--lwc",
         "--epochs", "1", "--nsamples", "4", "--cali_bsz", "2", "--seqlen", "16",
         "--eval_ppl", "--output_dir", str(tmp_path),
+        "--quantized_save", "--generate_demo", "4", "--perm_transforms",
     ]
     r = subprocess.run(cmd, capture_output=True, text=True, timeout=900,
                        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
