@@ -51,6 +51,7 @@ class ContinuousBatcher:
         compute_dtype=jnp.float32,
         cache_mode: str = "bf16",
         prefill_bucket: int = 0,
+        prefill_chunk: int = 0,
     ):
         """cache_mode="int4": packed int4 KV cache + Pallas flash-decode
         (the flagship cache under continuous batching; per-slot positions
@@ -59,7 +60,17 @@ class ContinuousBatcher:
         realistic request mix compiles one prefill program per bucket
         instead of one per distinct length (pad rows write garbage cache
         entries past the true length, but decode overwrites row `pos`
-        before valid_len ever covers it, so results are unchanged)."""
+        before valid_len ever covers it, so results are unchanged).
+
+        prefill_chunk > 0 enables chunked prefill (vLLM-style): a long
+        prompt is processed `prefill_chunk` tokens per scheduler step,
+        with active slots decoding one token between chunks — bounding
+        decode latency by one chunk instead of one full prompt. Chunk
+        attention reads the (quantized) cache for history — decode
+        semantics — while one-shot prefill keeps the reference's
+        unquantized-prompt trick; greedy outputs on calibrated models
+        agree, and all chunk shapes compile once (prompts pad to a chunk
+        multiple)."""
         self.cfg = cfg
         self.fq_cfg = fq_cfg
         self.sp = serving_params
@@ -70,6 +81,8 @@ class ContinuousBatcher:
 
         self.cache_mode = cache_mode
         self.prefill_bucket = prefill_bucket
+        self.prefill_chunk = prefill_chunk
+        self.pending = None  # in-flight chunked prefill state
         self.cache = init_cache(cfg, batch_slots, max_len, dtype=compute_dtype,
                                 mode=cache_mode)
         self.pos = np.zeros(batch_slots, np.int32)  # current length per slot
@@ -92,8 +105,14 @@ class ContinuousBatcher:
             return _forward(cfg, fq_cfg, sp, toks, cache, pos_vec, "decode",
                             use_kernel, max_len, cdt)
 
+        @jax.jit
+        def chunk_one(sp, tokens, cache1, pos, last_idx):
+            return _forward(cfg, fq_cfg, sp, tokens, cache1, pos, "chunk",
+                            use_kernel, max_len, cdt, last_idx=last_idx)
+
         self._prefill_one = prefill_one
         self._decode_multi = decode_multi
+        self._chunk_one = chunk_one
 
     # -- public API ---------------------------------------------------------
 
@@ -106,7 +125,8 @@ class ContinuousBatcher:
 
     @property
     def idle(self) -> bool:
-        return not self.queue and all(r is None for r in self.slot_req)
+        return (not self.queue and self.pending is None
+                and all(r is None for r in self.slot_req))
 
     def run(self, max_steps: int = 10**6) -> Dict[int, List[int]]:
         steps = 0
@@ -118,10 +138,60 @@ class ContinuousBatcher:
     # -- internals ----------------------------------------------------------
 
     def _admit(self):
+        pending_slot = self.pending["slot"] if self.pending else None
         for slot in range(self.B):
-            if self.slot_req[slot] is None and self.queue:
-                req = self.queue.pop(0)
-                self._prefill_into_slot(slot, req)
+            if slot == pending_slot or self.slot_req[slot] is not None:
+                continue
+            if not self.queue:
+                break
+            if self.prefill_chunk > 0:
+                if self.pending is not None:
+                    break  # one in-flight chunked prefill at a time
+                self._start_pending(slot, self.queue.pop(0))
+                pending_slot = slot
+            else:
+                self._prefill_into_slot(slot, self.queue.pop(0))
+
+    def _start_pending(self, slot: int, req: Request):
+        S = len(req.prompt)
+        assert S + req.max_new_tokens <= self.max_len
+        C = self.prefill_chunk
+        S_pad = -(-S // C) * C
+        toks = np.pad(req.prompt, (0, S_pad - S))
+        cache1 = init_cache(self.cfg, 1, self.max_len, dtype=self.compute_dtype,
+                            mode=self.cache_mode)
+        self.pending = {"slot": slot, "req": req, "toks": toks, "S": S,
+                        "cache1": cache1, "ci": 0, "n": S_pad // C}
+
+    def _advance_pending(self):
+        """Run ONE chunk of the in-flight prefill (decode interleaves
+        between calls — that's the point of chunking)."""
+        p = self.pending
+        C = self.prefill_chunk
+        start = p["ci"] * C
+        chunk = p["toks"][start : start + C]
+        final = p["ci"] == p["n"] - 1
+        last = (p["S"] - 1 - start) if final else (C - 1)
+        logits, p["cache1"] = self._chunk_one(
+            self.sp, jnp.asarray(chunk[None, :]), p["cache1"],
+            jnp.int32(start), jnp.asarray([last], np.int32),
+        )
+        p["ci"] += 1
+        if not final:
+            return
+        slot, req, S = p["slot"], p["req"], p["S"]
+        self.cache = {
+            key: self.cache[key].at[:, slot].set(p["cache1"][key][:, 0])
+            for key in self.cache
+        }
+        tok = int(jnp.argmax(logits[0]))
+        req.out_tokens.append(tok)
+        self.slot_req[slot] = req
+        self.pos[slot] = S
+        self.remaining[slot] = req.max_new_tokens - 1
+        self.next_tok[slot, 0] = tok
+        self.pending = None
+        self._maybe_finish(slot)
 
     def _prefill_into_slot(self, slot: int, req: Request):
         S = len(req.prompt)
@@ -164,6 +234,8 @@ class ContinuousBatcher:
 
     def step(self):
         self._admit()
+        if self.pending is not None:
+            self._advance_pending()
         active = [s for s in range(self.B) if self.slot_req[s] is not None]
         if not active:
             return

@@ -190,11 +190,14 @@ def serving_layer(
         attn = prefill_attention(q, k, v, 1.0 / float(np.sqrt(hd)),
                                  use_kernel, compute_dtype)
     else:
+        # decode, or a chunked-prefill "chunk" (S > 1 starting at pos):
+        # attend over the cache — decode semantics generalized to S query
+        # rows, row s seeing positions <= pos + s
         kv_len = ck.shape[1]
         k_att, v_att = ck, cv
-        # valid positions: <= pos + S - 1 (per slot when pos is a vector)
         ids = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, kv_len), 3)
-        limit = (pos.reshape(-1, 1, 1, 1) if per_slot else pos) + S - 1
+        iq = jax.lax.broadcasted_iota(jnp.int32, (1, 1, S, 1), 2)
+        limit = (pos.reshape(-1, 1, 1, 1) if per_slot else pos) + iq
         bias = jnp.where(ids <= limit, 0.0, -1e9)
         if n_rep > 1:
             k_att = jnp.repeat(k_att, n_rep, axis=2)
@@ -337,6 +340,29 @@ def serving_layer_int4cache(
         from flatquant_tpu.kernels.prefill_attention import prefill_attention
 
         attn = prefill_attention(q, k, v, sm_scale, use_kernel, compute_dtype)
+    elif phase == "chunk":
+        # chunked prefill: S query rows attend over the packed cache
+        # (history + this chunk, all quantized — decode semantics; the
+        # one-shot prefill path keeps the reference's unquantized trick)
+        from flatquant_tpu.kernels.kv_cache import unpack_dequant_kv
+
+        kpo, kso, kzo = untranspose_kv(kp, kparam)
+        vpo, vso, vzo = untranspose_kv(vp, vparam)
+        k_att = unpack_dequant_kv(kpo, kso, kzo, jnp.float32)  # [B,nkv,Smax,hd]
+        v_att = unpack_dequant_kv(vpo, vso, vzo, jnp.float32)
+        n_rep = nh // nkv
+        if n_rep > 1:
+            k_att = jnp.repeat(k_att, n_rep, axis=1)
+            v_att = jnp.repeat(v_att, n_rep, axis=1)
+        kv_len = k_att.shape[2]
+        ids = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, kv_len), 3)
+        iq = jax.lax.broadcasted_iota(jnp.int32, (1, 1, S, 1), 2)
+        bias = jnp.where(ids <= pos + iq, 0.0, -1e9)
+        scores = jnp.einsum(
+            "bqhd,bhkd->bhqk", q.astype(jnp.float32), k_att
+        ) * sm_scale + bias
+        probs = jax.nn.softmax(scores, axis=-1)
+        attn = jnp.einsum("bhqk,bhkd->bqhd", probs, v_att).astype(compute_dtype)
     else:
         valid = (pos + 1).astype(jnp.int32) if per_slot else jnp.full(
             (B,), pos + 1, jnp.int32)
