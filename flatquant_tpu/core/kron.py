@@ -44,6 +44,26 @@ def kronecker_matmul(x, left, right):
     return xm.reshape(init_shape)
 
 
+def kronecker_matmul_perm(x, left, right):
+    """x @ kron(left, right) with output channels in transposed (j*ln+i)
+    order: out[..., j*ln+i] = (x @ kron)[..., i*rn+j].
+
+    Both factor contractions run over *minor* dims (one explicit
+    transpose), where the standard form's middle-dim batched matmul makes
+    XLA insert a layout copy in AND out — the serving fast path
+    (serving/quantized.py kron_transform_perm rationale). Consumers must
+    permute the downstream weight's input channels to match; weight folds
+    that run through this same function stay consistent automatically.
+    """
+    init_shape = x.shape
+    ln, rn = left.shape[0], right.shape[0]
+    xm = x.reshape(-1, ln, rn)
+    xm = jnp.matmul(xm, right)      # contract rn (minor)
+    xm = xm.swapaxes(1, 2)          # the single layout copy
+    xm = jnp.matmul(xm, left)       # contract ln (minor): out[t, j, i]
+    return xm.reshape(init_shape)
+
+
 def kron_dense(left, right):
     """Dense kron(left, right) — for tests and for baking tiny transforms."""
     return jnp.kron(left, right)

@@ -177,6 +177,12 @@ class BakedDecompose:
     left_inv: jnp.ndarray  # left^{-T}
     right_inv: jnp.ndarray  # right^{-T}
     diag_scale: Optional[jnp.ndarray]  # None once folded into the preceding norm
+    # serving layout: emit transposed (j*ln+i) channel order via the
+    # one-copy kron form. Static metadata — apply_decompose branches on it,
+    # and because weight folds run through the same apply_decompose, the
+    # activation channels and folded weight columns permute consistently
+    # with NO call-site changes (kron.kronecker_matmul_perm rationale).
+    perm: bool = struct.field(pytree_node=False, default=False)
 
     @property
     def size(self) -> int:
@@ -205,15 +211,21 @@ def apply_decompose(t: AnyDecompose, x, inv_t: bool = False, use_diag: bool = Tr
             d = jnp.tile(d, x.shape[-1] // d.shape[0])
         x = x / d if inv_t else x * d
     left, right = decompose_matrices(t, inv_t)
+    if getattr(t, "perm", False):
+        from flatquant_tpu.core.kron import kronecker_matmul_perm
+
+        return kronecker_matmul_perm(
+            x, left.astype(x.dtype), right.astype(x.dtype))
     return kronecker_matmul(x, left.astype(x.dtype), right.astype(x.dtype))
 
 
-def bake_decompose(t: AnyDecompose) -> BakedDecompose:
+def bake_decompose(t: AnyDecompose, perm: bool = False) -> BakedDecompose:
     if isinstance(t, BakedDecompose):
-        return t
+        return t if t.perm == perm else t.replace(perm=perm)
     left, right = decompose_matrices(t, False)
     left_inv, right_inv = decompose_matrices(t, True)
     return BakedDecompose(
+        perm=perm,
         left=left,
         right=right,
         left_inv=left_inv,

@@ -827,25 +827,31 @@ def _mb(t, f):
     return None if t is None else f(t)
 
 
-def bake_ds_fq(dense_fq, moe_fq):
+def bake_ds_fq(dense_fq, moe_fq, perm_transforms: bool = False):
     """Freeze all transforms (the DeepSeek eval path keeps the train-style
     forward with fixed matrices — FlatQuantMLA.reparameterize only calls
     to_eval_mode, deepseekv3_utils.py:283-296; weights are quantized on the
-    fly, so eval == mode="calib" with baked transforms)."""
+    fly, so eval == mode="calib" with baked transforms).
+
+    perm_transforms=True marks every baked Kronecker transform with the
+    one-copy transposed-output layout; the activation side AND the weight
+    folds both route through apply_decompose, so results are unchanged by
+    construction (core/transforms.py BakedDecompose.perm)."""
+    bk = lambda t: bake_decompose(t, perm=perm_transforms)
 
     def bake_attn(a: MLAFQ) -> MLAFQ:
         return a.replace(
-            qkv_trans=_mb(a.qkv_trans, bake_decompose),
-            wqb_trans=_mb(a.wqb_trans, bake_decompose),
-            wo_trans=_mb(a.wo_trans, bake_decompose),
+            qkv_trans=_mb(a.qkv_trans, bk),
+            wqb_trans=_mb(a.wqb_trans, bk),
+            wo_trans=_mb(a.wo_trans, bk),
         )
 
     def bake_dense(l: DSDenseLayerFQ) -> DSDenseLayerFQ:
         return l.replace(
             attn=bake_attn(l.attn),
             ffn=l.ffn.replace(
-                up_gate_trans=_mb(l.ffn.up_gate_trans, bake_decompose),
-                down_trans=_mb(l.ffn.down_trans, bake_decompose),
+                up_gate_trans=_mb(l.ffn.up_gate_trans, bk),
+                down_trans=_mb(l.ffn.down_trans, bk),
             ),
         )
 
@@ -853,9 +859,9 @@ def bake_ds_fq(dense_fq, moe_fq):
         return l.replace(
             attn=bake_attn(l.attn),
             ffn=l.ffn.replace(
-                w1_trans=_mb(l.ffn.w1_trans, bake_decompose),
-                w2_trans=_mb(l.ffn.w2_trans, bake_decompose),
-                routed_w2_trans=_mb(l.ffn.routed_w2_trans, bake_decompose),
+                w1_trans=_mb(l.ffn.w1_trans, bk),
+                w2_trans=_mb(l.ffn.w2_trans, bk),
+                routed_w2_trans=_mb(l.ffn.routed_w2_trans, bk),
             ),
         )
 
@@ -1095,7 +1101,8 @@ def deepseek_generate(
 
 
 def build_ds_serving_params(cfg: DeepSeekConfig, fq_cfg: FQConfig, params: dict,
-                            dense_fq, moe_fq, dtype=jnp.bfloat16):
+                            dense_fq, moe_fq, dtype=jnp.bfloat16,
+                            perm_transforms: bool = False):
     """Pack all quantized DS linears to planar int4 + scales with transforms
     and LWC clips baked in; transforms stay in the (baked) fq state for the
     activation side. wkv_b remains unquantized bf16 (deepseekv3_utils.py:171).
@@ -1106,7 +1113,8 @@ def build_ds_serving_params(cfg: DeepSeekConfig, fq_cfg: FQConfig, params: dict,
     from flatquant_tpu.core.quant import weight_find_params, weight_quantize_int
     from flatquant_tpu.kernels.int4_matmul import pack_weight_planar
 
-    baked_dense, baked_moe = bake_ds_fq(dense_fq, moe_fq)
+    baked_dense, baked_moe = bake_ds_fq(dense_fq, moe_fq,
+                                        perm_transforms=perm_transforms)
     w_cfg = fq_cfg.w_cfg
     assert w_cfg.sym and w_cfg.group_size <= 0, "real-quant DS: sym per-channel"
 

@@ -208,3 +208,26 @@ def test_moe_dispatch_ranks():
     rank, keep = moe_dispatch(fe, capacity=2, n_experts=4)
     assert rank.tolist() == [0, 1, 0, 2, 0, 1]
     assert keep.tolist() == [True, True, True, False, True, True]
+
+
+def test_ds_perm_transforms_match_standard(tiny_ds):
+    """perm_transforms serving (one-copy transposed-output Kron on both
+    the activation side and the weight folds, via the BakedDecompose.perm
+    marker) must reproduce the standard serve forward."""
+    from flatquant_tpu.models.deepseek import build_ds_serving_params
+
+    cfg, params, toks = tiny_ds
+    dfq, mfq = init_ds_fq(cfg, W4A4, seed=0)
+    sp_a, fq_a = build_ds_serving_params(cfg, W4A4, params, dfq, mfq,
+                                         dtype=jnp.float32)
+    sp_b, fq_b = build_ds_serving_params(cfg, W4A4, params, dfq, mfq,
+                                         dtype=jnp.float32,
+                                         perm_transforms=True)
+    assert fq_b[0].attn.qkv_trans.perm and not fq_a[0].attn.qkv_trans.perm
+    la = deepseek_forward(cfg, sp_a, toks, fq=fq_a, fq_cfg=W4A4,
+                          mode="serve", compute_dtype=jnp.float32)
+    lb = deepseek_forward(cfg, sp_b, toks, fq=fq_b, fq_cfg=W4A4,
+                          mode="serve", compute_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
+                               rtol=1e-4, atol=1e-5)
+    assert (jnp.argmax(la, -1) == jnp.argmax(lb, -1)).all()
