@@ -114,7 +114,8 @@ def serving_layer(
     v4 = fq_cfg.v_cfg.enabled
 
     def qlin(h, lin, bias=None):
-        y = _quant_linear(h.reshape(-1, h.shape[-1]), lin, use_kernel, compute_dtype)
+        y = _quant_linear(h.reshape(-1, h.shape[-1]), lin, use_kernel,
+                          compute_dtype, quant_acts=fq_cfg.a_cfg.enabled)
         y = y.reshape(h.shape[:-1] + (lin["scale"].shape[0],))
         if bias is not None:
             y = y + bias.astype(y.dtype)
@@ -275,7 +276,8 @@ def serving_layer_int4cache(
     nh, nkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
 
     def qlin(h, lin, bias=None):
-        y = _quant_linear(h.reshape(-1, h.shape[-1]), lin, use_kernel, compute_dtype)
+        y = _quant_linear(h.reshape(-1, h.shape[-1]), lin, use_kernel,
+                          compute_dtype, quant_acts=fq_cfg.a_cfg.enabled)
         y = y.reshape(h.shape[:-1] + (lin["scale"].shape[0],))
         if bias is not None:
             y = y + bias.astype(y.dtype)

@@ -260,13 +260,26 @@ def _perm_in_channels(w, ln: int, rn: int):
     return w.reshape(out, ln, rn).swapaxes(1, 2).reshape(out, ln * rn)
 
 
-def _quant_linear(x2d, lin, use_kernel: bool, out_dtype=jnp.bfloat16):
+def _quant_linear(x2d, lin, use_kernel: bool, out_dtype=jnp.bfloat16,
+                  quant_acts: bool = True):
     """Per-token quant + W4A8 matmul. x2d: [T, K] fp.
 
     Scale rule is byte-identical to the fake path (quant_utils.py:88-108):
     xmax/xmin clipped separately by their sigmoid factors, then
     absmax = max(|xmin|, xmax), scale = absmax / 7.
+
+    quant_acts=False is the weight-only (W4A16) serving mode: the same
+    kernel multiplies raw bf16 activations against the unpacked nibbles
+    with unit act scale — the epilogue algebra (acc - 8*rowsum) * sx * sw
+    is exact for arbitrary x, not just int4 codes. The reference's
+    CUTLASS int4xint4 deploy path has no weight-only mode at all.
     """
+    if not quant_acts:
+        ones = jnp.ones((x2d.shape[0], 1), jnp.float32)
+        if use_kernel:
+            return w4a8_matmul(x2d.astype(jnp.bfloat16), ones, lin["wp"],
+                               lin["scale"], out_dtype)
+        return w4a8_matmul_ref(x2d, ones, lin["wp"], lin["scale"], out_dtype)
     xf = x2d.astype(jnp.float32)
     xmax = jnp.maximum(jnp.max(xf, axis=-1, keepdims=True), 0.0)
     xmin = jnp.minimum(jnp.min(xf, axis=-1, keepdims=True), 0.0)

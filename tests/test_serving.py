@@ -304,3 +304,39 @@ def test_perm_transforms_merged_and_int4cache():
         for perm, spx in sps.items()
     }
     np.testing.assert_array_equal(outs[False], outs[True])
+
+
+def test_weight_only_w4a16_serving_matches_fake_eval():
+    """Weight-only serving (a16: raw activations through the int4-weight
+    kernel with unit act scale) must equal the fake-quant eval forward at
+    fp32 — the production GPTQ-style deployment mode the reference's
+    int4xint4 CUTLASS path cannot express."""
+    cfg = get_config("tiny-llama")
+    params = init_params(cfg, seed=0)
+    params["lm_head"] = params["lm_head"] * 6.0
+    fq_cfg = FQConfig(w_bits=4, a_bits=16, k_bits=16, v_bits=16,
+                      lac=False, epochs=0)
+    fq = init_model_fq(cfg, fq_cfg, seed=0)
+    baked, baked_fq = bake_model(cfg, fq_cfg, params, fq)
+    sp = build_serving_params(cfg, fq_cfg, baked, baked_fq, dtype=jnp.float32)
+    eval_params = rtn_quantize_params(fq_cfg, baked)
+
+    toks = np.random.default_rng(2).integers(
+        0, cfg.vocab_size, (2, 12)).astype(np.int32)
+    cache = init_cache(cfg, 2, 20, dtype=jnp.float32)
+    logits_real, cache = serving_prefill(
+        cfg, fq_cfg, sp, jnp.asarray(toks), cache, use_kernel=False,
+        max_len=20, compute_dtype=jnp.float32)
+    from flatquant_tpu.models.llama import llama_forward
+
+    logits_fake = llama_forward(
+        cfg, eval_params, jnp.asarray(toks), fq=baked_fq, fq_cfg=fq_cfg,
+        mode="eval", compute_dtype=jnp.float32)[:, -1]
+    np.testing.assert_allclose(np.asarray(logits_real),
+                               np.asarray(logits_fake), atol=1e-4, rtol=1e-4)
+    # decode continues through the same weight-only path
+    tok = jnp.argmax(logits_real, -1)[:, None].astype(jnp.int32)
+    logits2, _ = serving_decode_step(cfg, fq_cfg, sp, tok, cache,
+                                     jnp.int32(12), use_kernel=False,
+                                     max_len=20, compute_dtype=jnp.float32)
+    assert np.isfinite(np.asarray(logits2)).all()
