@@ -418,7 +418,8 @@ def _linear(mode, quant, fq_cfg, x, w, b, st, qa=None, lwc=False):
 
         use_kernel = _jax.default_backend() == "tpu"
         y = _quant_linear(x.reshape(-1, x.shape[-1]), w, use_kernel, x.dtype,
-                          quant_acts=fq_cfg.a_cfg.enabled)
+                          quant_acts=fq_cfg.a_cfg.enabled,
+                          a_q_max=fq_cfg.a_cfg.q_max)
         y = y.reshape(x.shape[:-1] + (w["scale"].shape[0],))
         return y + b.astype(y.dtype) if b is not None else y
     if not quant:
@@ -587,7 +588,8 @@ def _expert_linear(mode, quant, fq_cfg, x_e, w_e, st_e, qa=None):
             if shared_clip is not None:
                 lin["a_clip"] = shared_clip
             return _quant_linear(x1, lin, False, x1.dtype,
-                                 quant_acts=fq_cfg.a_cfg.enabled)
+                                 quant_acts=fq_cfg.a_cfg.enabled,
+                                 a_q_max=fq_cfg.a_cfg.q_max)
 
         return jax.vmap(one_packed)(x_e, w_e["wp"], w_e["scale"])
     if not quant:

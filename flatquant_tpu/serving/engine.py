@@ -115,7 +115,8 @@ def serving_layer(
 
     def qlin(h, lin, bias=None):
         y = _quant_linear(h.reshape(-1, h.shape[-1]), lin, use_kernel,
-                          compute_dtype, quant_acts=fq_cfg.a_cfg.enabled)
+                          compute_dtype, quant_acts=fq_cfg.a_cfg.enabled,
+                          a_q_max=fq_cfg.a_cfg.q_max)
         y = y.reshape(h.shape[:-1] + (lin["scale"].shape[0],))
         if bias is not None:
             y = y + bias.astype(y.dtype)
@@ -277,7 +278,8 @@ def serving_layer_int4cache(
 
     def qlin(h, lin, bias=None):
         y = _quant_linear(h.reshape(-1, h.shape[-1]), lin, use_kernel,
-                          compute_dtype, quant_acts=fq_cfg.a_cfg.enabled)
+                          compute_dtype, quant_acts=fq_cfg.a_cfg.enabled,
+                          a_q_max=fq_cfg.a_cfg.q_max)
         y = y.reshape(h.shape[:-1] + (lin["scale"].shape[0],))
         if bias is not None:
             y = y + bias.astype(y.dtype)

@@ -50,7 +50,12 @@ from flatquant_tpu.quantize.spec import FQConfig
 
 
 def _pack_linear(w, w_cfg, w_q=None) -> Dict[str, Any]:
-    """fp weight [out, in] -> planar int4 + per-channel scale.
+    """fp weight [out, in] -> packed codes + per-channel scale.
+
+    w_bits=4: planar int4 nibbles ("wp", the Pallas kernel layout);
+    w_bits=8: plain int8 codes ("w8", fed to XLA's int8 dot — which runs
+    at the same 2x-bf16 MXU rate the Pallas path measured, with no
+    sub-byte packing needed).
 
     `w` provides the scale (find_params on the pre-weight-quant baked
     weight — the same rule GPTQ/RTN use); `w_q`, when given, carries
@@ -61,6 +66,8 @@ def _pack_linear(w, w_cfg, w_q=None) -> Dict[str, Any]:
     flat_utils.py:97-204)."""
     scale, zero = weight_find_params(w, w_cfg)
     q = weight_quantize_int(w if w_q is None else w_q, scale, zero, w_cfg)
+    if w_cfg.bits == 8:
+        return {"w8": q, "scale": scale[:, 0].astype(jnp.float32)}
     return {"wp": pack_weight_planar(q), "scale": scale[:, 0].astype(jnp.float32)}
 
 
@@ -102,6 +109,7 @@ def build_serving_params(
         "real-quant path currently supports symmetric per-channel weights "
         "(the reference CUTLASS path has the same restriction, REALQUANT.md)"
     )
+    assert fq_cfg.w_cfg.bits in (4, 8), "real-quant weights: int4 or int8"
     w_cfg = fq_cfg.w_cfg
     eval_layers = (eval_params or baked_params)["layers"]
 
@@ -261,20 +269,32 @@ def _perm_in_channels(w, ln: int, rn: int):
 
 
 def _quant_linear(x2d, lin, use_kernel: bool, out_dtype=jnp.bfloat16,
-                  quant_acts: bool = True):
-    """Per-token quant + W4A8 matmul. x2d: [T, K] fp.
+                  quant_acts: bool = True, a_q_max: int = 7):
+    """Per-token quant + quantized-weight matmul. x2d: [T, K] fp.
 
     Scale rule is byte-identical to the fake path (quant_utils.py:88-108):
     xmax/xmin clipped separately by their sigmoid factors, then
-    absmax = max(|xmin|, xmax), scale = absmax / 7.
+    absmax = max(|xmin|, xmax), scale = absmax / a_q_max (7 for a4,
+    127 for a8 — the same kernels serve W4A4, W4A8 and W8A8: integer
+    products stay exact in the fp32/int32 accumulators for all of them).
 
-    quant_acts=False is the weight-only (W4A16) serving mode: the same
-    kernel multiplies raw bf16 activations against the unpacked nibbles
-    with unit act scale — the epilogue algebra (acc - 8*rowsum) * sx * sw
-    is exact for arbitrary x, not just int4 codes. The reference's
-    CUTLASS int4xint4 deploy path has no weight-only mode at all.
+    Weight layouts: "wp" planar int4 nibbles (Pallas kernels); "w8" plain
+    int8 codes (XLA int8 dot, which reaches the same 2x-bf16 MXU rate).
+
+    quant_acts=False is the weight-only (W4A16/W8A16) serving mode: raw
+    bf16 activations flow through the quantized-weight matmul with unit
+    act scale — the epilogue algebra is exact for arbitrary x, not just
+    integer codes. The reference's CUTLASS int4xint4 deploy path has no
+    weight-only mode at all.
     """
+    w8 = lin.get("w8")
     if not quant_acts:
+        if w8 is not None:
+            # keep the caller's compute dtype (bf16 in serving; f32 in the
+            # exact-parity tests) — int8 codes widen losslessly to both
+            y = jnp.matmul(x2d, w8.T.astype(x2d.dtype),
+                           preferred_element_type=jnp.float32)
+            return (y * lin["scale"].reshape(1, -1)).astype(out_dtype)
         ones = jnp.ones((x2d.shape[0], 1), jnp.float32)
         if use_kernel:
             return w4a8_matmul(x2d.astype(jnp.bfloat16), ones, lin["wp"],
@@ -289,8 +309,15 @@ def _quant_linear(x2d, lin, use_kernel: bool, out_dtype=jnp.bfloat16,
         xmax = xmax * rmax
         xmin = xmin * rmin
     absmax = jnp.maximum(jnp.abs(xmin), xmax)
-    xs = jnp.where(absmax == 0, 1.0, absmax / 7.0)
-    xq = jnp.clip(jnp.round(xf / xs), -8, 7)
+    xs = jnp.where(absmax == 0, 1.0, absmax / a_q_max)
+    xq = jnp.clip(jnp.round(xf / xs), -a_q_max - 1, a_q_max)
+    if w8 is not None:
+        # int8 x int8 -> int32 on the MXU's 2x-rate path (codes are exact)
+        acc = jax.lax.dot_general(
+            xq.astype(jnp.int8), w8, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        out = acc.astype(jnp.float32) * xs * lin["scale"].reshape(1, -1)
+        return out.astype(out_dtype)
     if use_kernel and x2d.shape[0] >= 256:
         # compute-bound regime (prefill): int8-MXU kernel runs at 2x the
         # bf16 MXU rate on v5e (359 vs 161 TFLOPs measured) and multiplies

@@ -340,3 +340,37 @@ def test_weight_only_w4a16_serving_matches_fake_eval():
                                      jnp.int32(12), use_kernel=False,
                                      max_len=20, compute_dtype=jnp.float32)
     assert np.isfinite(np.asarray(logits2)).all()
+
+
+@pytest.mark.parametrize("w_bits,a_bits", [(8, 8), (4, 8), (8, 16)])
+def test_int8_serving_modes_match_fake_eval(w_bits, a_bits):
+    """W8A8 / W4A8 / W8A16 real-quant serving == fake-quant eval at fp32.
+
+    W8 weights serve as plain int8 codes through XLA's int8 dot (2x MXU
+    rate path); A8 activations reuse the same scale rule with q_max=127.
+    The reference deploys int4xint4 only — these are the SmoothQuant-class
+    production modes on top of the same transform stack."""
+    cfg = get_config("tiny-llama")
+    params = init_params(cfg, seed=1)
+    params["lm_head"] = params["lm_head"] * 6.0
+    fq_cfg = FQConfig(w_bits=w_bits, a_bits=a_bits, k_bits=16, v_bits=16,
+                      lac=(a_bits < 16), epochs=0)
+    fq = init_model_fq(cfg, fq_cfg, seed=1)
+    baked, baked_fq = bake_model(cfg, fq_cfg, params, fq)
+    sp = build_serving_params(cfg, fq_cfg, baked, baked_fq, dtype=jnp.float32)
+    eval_params = rtn_quantize_params(fq_cfg, baked)
+
+    toks = np.random.default_rng(3).integers(
+        0, cfg.vocab_size, (2, 10)).astype(np.int32)
+    cache = init_cache(cfg, 2, 16, dtype=jnp.float32)
+    logits_real, _ = serving_prefill(
+        cfg, fq_cfg, sp, jnp.asarray(toks), cache, use_kernel=False,
+        max_len=16, compute_dtype=jnp.float32)
+    from flatquant_tpu.models.llama import llama_forward
+
+    logits_fake = llama_forward(
+        cfg, eval_params, jnp.asarray(toks), fq=baked_fq, fq_cfg=fq_cfg,
+        mode="eval", compute_dtype=jnp.float32)[:, -1]
+    np.testing.assert_allclose(np.asarray(logits_real),
+                               np.asarray(logits_fake), atol=1e-4, rtol=1e-4)
+    assert (jnp.argmax(logits_real, -1) == jnp.argmax(logits_fake, -1)).all()
