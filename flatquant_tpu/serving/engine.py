@@ -163,12 +163,16 @@ def serving_layer(
 
     # quantize cache entries (asym per token-head)
     if k4:
-        kq, ks, kz = quantize_kv_asym(k, sl.get("kc_clip"))
+        # serving KV is asymmetric (reference kv_cache.py:267-289), so the
+        # grid is 2^bits - 1 regardless of the sym flag
+        kq, ks, kz = quantize_kv_asym(k, sl.get("kc_clip"),
+                                      q_max=(1 << fq_cfg.k_cfg.bits) - 1)
         k_store = dequantize_kv(kq, ks, kz, ck.dtype)
     else:
         k_store = k.astype(ck.dtype)
     if v4:
-        vq, vs, vz = quantize_kv_asym(v, sl.get("vc_clip"))
+        vq, vs, vz = quantize_kv_asym(v, sl.get("vc_clip"),
+                                      q_max=(1 << fq_cfg.v_cfg.bits) - 1)
         v_store = dequantize_kv(vq, vs, vz, cv.dtype)
     else:
         v_store = v.astype(cv.dtype)
@@ -474,9 +478,9 @@ def _forward(cfg, fq_cfg, sp, tokens, cache, pos, phase, use_kernel, max_len,
         return logits.astype(jnp.float32), {"k": repack(cks), "v": repack(cvs)}
 
     if "kp" in cache:  # packed int4 cache mode
-        assert fq_cfg.k_cfg.enabled and fq_cfg.v_cfg.enabled, (
-            "int4 cache mode requires k_bits/v_bits < 16 (the packed cache "
-            "always quantizes); use the bf16 cache for kv16 configs"
+        assert fq_cfg.k_cfg.bits == 4 and fq_cfg.v_cfg.bits == 4, (
+            "the packed cache layout is int4 nibbles; use the bf16 cache "
+            "mode for kv16/kv8 configs (kv8 quantizes at write there)"
         )
         def body4(carry, xs):
             x = carry

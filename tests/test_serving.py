@@ -374,3 +374,45 @@ def test_int8_serving_modes_match_fake_eval(w_bits, a_bits):
     np.testing.assert_allclose(np.asarray(logits_real),
                                np.asarray(logits_fake), atol=1e-4, rtol=1e-4)
     assert (jnp.argmax(logits_real, -1) == jnp.argmax(logits_fake, -1)).all()
+
+
+def test_kv8_cache_grid():
+    """KV8 (asym) through the bf16 cache must store values on the 8-bit
+    grid: re-quantizing the stored rows at q_max=255 is a no-op, while the
+    int4 grid changes them. (Before the q_max fix the serving cache used
+    the int4 grid for ANY kv-bits < 16; note serving-vs-fake logits can't
+    be compared directly here — the prefill-unquantized trick shifts
+    deeper-layer hiddens by design, reference modeling_llama.py:125-137.)"""
+    from flatquant_tpu.serving.quantized import dequantize_kv, quantize_kv_asym
+
+    cfg = get_config("tiny-llama")
+    params = init_params(cfg, seed=3)
+    fq_cfg = FQConfig(w_bits=4, a_bits=4, k_bits=8, v_bits=8,
+                      k_asym=True, v_asym=True, lac=False, epochs=0)
+    fq = init_model_fq(cfg, fq_cfg, seed=3)
+    baked, baked_fq = bake_model(cfg, fq_cfg, params, fq)
+    sp = build_serving_params(cfg, fq_cfg, baked, baked_fq, dtype=jnp.float32)
+
+    toks = np.random.default_rng(4).integers(
+        0, cfg.vocab_size, (2, 10)).astype(np.int32)
+    cache = init_cache(cfg, 2, 16, dtype=jnp.float32)
+    logits, cache = serving_prefill(
+        cfg, fq_cfg, sp, jnp.asarray(toks), cache, use_kernel=False,
+        max_len=16, compute_dtype=jnp.float32)
+    assert np.isfinite(np.asarray(logits)).all()
+    rows = cache["k"][0, :, :10]  # layer 0, written positions
+
+    def requant(x, qm):
+        q, sc, z = quantize_kv_asym(x, None, q_max=qm)
+        return dequantize_kv(q, sc, z, jnp.float32)
+
+    np.testing.assert_allclose(np.asarray(requant(rows, 255)),
+                               np.asarray(rows), atol=1e-6)
+    assert float(jnp.max(jnp.abs(requant(rows, 15) - rows))) > 1e-4
+
+    # decode continues over the 8-bit cache
+    tok = jnp.argmax(logits, -1)[:, None].astype(jnp.int32)
+    logits2, _ = serving_decode_step(cfg, fq_cfg, sp, tok, cache,
+                                     jnp.int32(10), use_kernel=False,
+                                     max_len=16, compute_dtype=jnp.float32)
+    assert np.isfinite(np.asarray(logits2)).all()
