@@ -26,6 +26,7 @@ class FQConfig:
     v_asym: bool = False
     w_groupsize: int = -1
     a_groupsize: int = -1
+    q_groupsize: int = -1
     k_groupsize: int = -1
     v_groupsize: int = -1
 
@@ -94,7 +95,7 @@ class FQConfig:
     def q_cfg(self) -> ActQuantCfg:
         return ActQuantCfg(
             bits=self._bits(self.q_bits, self.act_quant_enabled),
-            sym=not self.q_asym, lac=self.lac)
+            sym=not self.q_asym, lac=self.lac, group_size=self.q_groupsize)
 
     @property
     def k_cfg(self) -> ActQuantCfg:

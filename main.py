@@ -23,6 +23,7 @@ def parser_gen():
     p = argparse.ArgumentParser("flatquant-tpu")
     p.add_argument("--model", default="tiny-llama", help="config name (models.config registry)")
     p.add_argument("--hf_path", default=None, help="local HF checkpoint dir (safetensors)")
+    p.add_argument("--hf_token", default=None, help="accepted for reference-CLI compatibility; unused (zero-egress environment)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--platform", default=None, choices=[None, "cpu", "tpu"], help="force jax platform")
     # bits
@@ -38,6 +39,7 @@ def parser_gen():
     p.add_argument("--v_asym", action="store_true")
     p.add_argument("--a_groupsize", type=int, default=-1)
     p.add_argument("--w_groupsize", type=int, default=-1)
+    p.add_argument("--q_groupsize", type=int, default=-1)
     p.add_argument("--k_groupsize", type=int, default=-1)
     p.add_argument("--v_groupsize", type=int, default=-1)
     # learnables
@@ -123,6 +125,7 @@ def main(argv=None):
         w_asym=args.w_asym, a_asym=args.a_asym, q_asym=args.q_asym,
         k_asym=args.k_asym, v_asym=args.v_asym,
         w_groupsize=args.w_groupsize, a_groupsize=args.a_groupsize,
+        q_groupsize=args.q_groupsize,
         k_groupsize=args.k_groupsize, v_groupsize=args.v_groupsize,
         cali_trans=args.cali_trans, add_diag=args.add_diag,
         lwc=args.lwc, lac=args.lac, direct_inv=args.direct_inv,
