@@ -124,7 +124,9 @@ def _gptq_core(w, hinv, dead, perm, inv_perm, w_cfg: WeightQuantCfg,
         """(re)compute scales from the current group's columns."""
         cols = jax.lax.dynamic_slice(w_cur, (0, i), (out_dim, group))
         gcfg = WeightQuantCfg(
-            bits=w_cfg.bits, sym=w_cfg.sym, perchannel=True, group_size=-1
+            bits=w_cfg.bits, sym=w_cfg.sym, perchannel=True, group_size=-1,
+            mse=w_cfg.mse, norm=w_cfg.norm, grid=w_cfg.grid,
+            max_shrink=w_cfg.max_shrink,
         )
         return weight_find_params(cols, gcfg)
 
@@ -165,7 +167,9 @@ def _gptq_core(w, hinv, dead, perm, inv_perm, w_cfg: WeightQuantCfg,
         def group_params_blk(w1, j):
             cols = jax.lax.dynamic_slice(w1, (0, j), (out_dim, group))
             gcfg = WeightQuantCfg(
-                bits=w_cfg.bits, sym=w_cfg.sym, perchannel=True, group_size=-1
+                bits=w_cfg.bits, sym=w_cfg.sym, perchannel=True, group_size=-1,
+                mse=w_cfg.mse, norm=w_cfg.norm, grid=w_cfg.grid,
+                max_shrink=w_cfg.max_shrink,
             )
             return weight_find_params(cols, gcfg)
 
@@ -310,13 +314,34 @@ def gptq_model(
         for cap_key, weight_keys in _SUBSETS:
             # accumulate one Hessian per linear: the shared captured input
             # goes through each linear's OWN act-clip factors (reference
-            # per-linear hooks, gptq_utils.py:37-50)
+            # per-linear hooks, gptq_utils.py:37-50). Linears whose clip
+            # factors are identical (always true with LAC off) share one
+            # Hessian — the X^T X pass dominates GPTQ's data cost, and
+            # recomputing it 3x for qkv on bitwise-equal inputs is waste.
             linears = _subset_linears(fq_l, cap_key)
-            hess = {wk: None for wk, _ in linears}
+
+            def clips_equal(a, b):
+                def eq(x, y):
+                    if x is None or y is None:
+                        return x is None and y is None
+                    return x.shape == y.shape and bool(jnp.all(x == y))
+                return (eq(a.clip_a_max, b.clip_a_max)
+                        and eq(a.clip_a_min, b.clip_a_min))
+
+            rep = {}
+            for idx, (wk, lin) in enumerate(linears):
+                rep[wk] = wk
+                for wk2, lin2 in linears[:idx]:
+                    if clips_equal(lin, lin2):
+                        rep[wk] = rep[wk2]
+                        break
+            hess = {wk: None for wk, _ in linears if rep[wk] == wk}
             for j in range(0, nsamples, bsz):
                 _, caps = eval_step(lp, fq_l, jnp.asarray(inps[j : j + bsz]))
                 xin = caps[cap_key].astype(jnp.float32)
                 for wk, lin in linears:
+                    if rep[wk] != wk:
+                        continue
                     xq = act_fake_quant(xin, a_cfg, lin.clip_a_max,
                                         lin.clip_a_min)
                     xf = xq.reshape(-1, xq.shape[-1])
@@ -326,7 +351,7 @@ def gptq_model(
             for wk in weight_keys:
                 lp[wk] = gptq_quantize_weight(
                     lp[wk],
-                    hess[wk],
+                    hess[rep[wk]],
                     w_cfg,
                     percdamp=fq_cfg.gptq_percdamp,
                     act_order=fq_cfg.gptq_act_order,

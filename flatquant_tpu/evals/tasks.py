@@ -208,6 +208,11 @@ def make_lm_eval_adapter(cfg, params, fq, fq_cfg, mode, tokenizer,
                 max_new_tokens=max(gen_lens), use_kernel=use_kernel,
                 eos_id=eos, stop_token_sets=stop_sets,
             )
+            # one batched run at the longest request's budget; each
+            # request is then trimmed to its OWN max_gen_toks (a 16-token
+            # request must not return 64 tokens just because it shared a
+            # batch with one)
+            outs = [t[:n] for t, n in zip(outs, gen_lens)]
             return [self.tokenizer.decode(t) for t in outs]
 
     return FlatQuantLM()

@@ -94,9 +94,8 @@ def flash_prefill_attention(q, k, v, sm_scale: float, blk_q: int = 256,
     B, S, nh, hd = q.shape
     nkv = k.shape[2]
     n_rep = nh // nkv
-    bq = min(blk_q, S)
-    bk = min(blk_k, S)
-    assert S % bq == 0 and S % bk == 0, (S, bq, bk)
+    bq = _shrink_to_divisor(min(blk_q, S), S)
+    bk = _shrink_to_divisor(min(blk_k, S), S)
 
     # [B, S, nh, hd] -> [B, nkv, n_rep, S, hd]; [B, S, nkv, hd] -> [B, nkv, S, hd]
     qg = q.reshape(B, S, nkv, n_rep, hd).transpose(0, 2, 3, 1, 4)
@@ -125,6 +124,15 @@ def flash_prefill_attention(q, k, v, sm_scale: float, blk_q: int = 256,
     return out.transpose(0, 3, 1, 2, 4).reshape(B, S, nh, hd)
 
 
+def _shrink_to_divisor(b: int, S: int) -> int:
+    """Largest power-of-two reduction of b that divides S (S is a multiple
+    of 128 here, so 128 always terminates the loop) — legal prompt/bucket
+    lengths like S=1152 must not assert, they get smaller blocks."""
+    while S % b:
+        b //= 2
+    return b
+
+
 def flash_prefill_ref(q, k, v, sm_scale: float, blk_q: int = 256):
     """Pure-XLA blockwise causal attention (same signature/layout as the
     kernel). Scans q blocks; each block attends to keys [0, blk_end) with
@@ -133,8 +141,7 @@ def flash_prefill_ref(q, k, v, sm_scale: float, blk_q: int = 256):
     B, S, nh, hd = q.shape
     nkv = k.shape[2]
     n_rep = nh // nkv
-    bq = min(blk_q, S)
-    assert S % bq == 0
+    bq = _shrink_to_divisor(min(blk_q, S), S)
     kf = k.astype(jnp.float32)
     vf = v.astype(jnp.float32)
     if n_rep > 1:

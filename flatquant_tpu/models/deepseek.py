@@ -96,6 +96,11 @@ class DeepSeekConfig:
     # prefill S=2048 gather 2.15x (compute-bound, activated-only FLOPs win).
     # Calibration always runs dense: it is drop-free and matches the
     # reference's exact per-expert loop (deepseek_v3/model.py MoE.forward).
+    # ACCURACY NOTE: "auto"/"gather" serve-prefill may DROP tokens routed
+    # past capacity_factor*T*K/E slots per expert, so prompt hidden states
+    # can deviate from the exact dense path (and from the same request's
+    # decode steps, which stay dense). At capacity_factor=2.0 drops need a
+    # >2x routing hot-spot; set moe_impl="dense" for bit-exact serving.
     moe_impl: str = "auto"
     moe_capacity_factor: float = 2.0
 

@@ -196,6 +196,11 @@ def load_hf_deepseek(path: str, cfg: DeepSeekConfig, dtype=jnp.float32) -> dict:
             rest = name[len("model.layers."):]
             idx_s, sub = rest.split(".", 1)
             li = int(idx_s)
+            if li >= cfg.n_layers:
+                # official V3/R1 shards carry the multi-token-prediction
+                # block at model.layers.<n_layers>; it is not part of the
+                # decoder stack (the reference drops it too)
+                continue
             is_dense = li < nd
             store = dense if is_dense else moe
             n_total = nd if is_dense else cfg.n_moe_layers

@@ -82,6 +82,11 @@ class ContinuousBatcher:
         self.cache_mode = cache_mode
         self.prefill_bucket = prefill_bucket
         self.prefill_chunk = prefill_chunk
+        if prefill_chunk > 0:
+            # chunk-multiple padding must never extend past the cache:
+            # dynamic_update_slice CLAMPS out-of-range starts, which would
+            # silently overwrite history rows and misalign rope
+            assert max_len % prefill_chunk == 0, (max_len, prefill_chunk)
         self.pending = None  # in-flight chunked prefill state
         self.cache = init_cache(cfg, batch_slots, max_len, dtype=compute_dtype,
                                 mode=cache_mode)
@@ -156,7 +161,7 @@ class ContinuousBatcher:
         S = len(req.prompt)
         assert S + req.max_new_tokens <= self.max_len
         C = self.prefill_chunk
-        S_pad = -(-S // C) * C
+        S_pad = min(-(-S // C) * C, self.max_len)
         toks = np.pad(req.prompt, (0, S_pad - S))
         cache1 = init_cache(self.cfg, 1, self.max_len, dtype=self.compute_dtype,
                             mode=self.cache_mode)

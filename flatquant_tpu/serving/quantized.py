@@ -240,25 +240,16 @@ def kron_transform(x, left_right):
 
 def kron_transform_perm(x, left_right):
     """kron_transform with the output channels in transposed (j*ln+i)
-    order: y'[t, j*ln+i] = (x @ kron(left, right))[t, i*rn+j].
+    order — one layout copy instead of two (device-traced ~130 us each at
+    the 11008 inter dim, S=2048; rationale in core/kron.py
+    kronecker_matmul_perm). Per-token quantization is permutation-
+    invariant and the downstream packed weight's input channels are
+    permuted once at build time (_perm_in_channels), so end-to-end
+    results are unchanged."""
+    from flatquant_tpu.core.kron import kronecker_matmul_perm
 
-    Why: the standard form's second contraction (over ln, the middle dim
-    of [T, ln, rn]) makes XLA lay the operand out twice — a copy in AND a
-    copy out (device-traced ~130 us each at the 11008 inter dim, S=2048).
-    Contracting ln as the *minor* dim instead needs only the one explicit
-    transpose and leaves the output in (j, i) order. Per-token
-    quantization is permutation-invariant and the downstream packed
-    weight's input channels are permuted once at build time
-    (_perm_in_channels), so end-to-end results are unchanged — this is a
-    pure layout-copy elimination for the serving hot path."""
     left, right = left_right
-    shape = x.shape
-    ln, rn = left.shape[0], right.shape[0]
-    xm = x.reshape(-1, ln, rn).astype(left.dtype)
-    xm = jnp.matmul(xm, right)      # [T, ln, rn]: contract rn (minor)
-    xm = xm.swapaxes(1, 2)          # the single layout copy -> [T, rn, ln]
-    xm = jnp.matmul(xm, left)       # contract ln (minor): y'[t, j, i]
-    return xm.reshape(shape)
+    return kronecker_matmul_perm(x.astype(left.dtype), left, right)
 
 
 def _perm_in_channels(w, ln: int, rn: int):

@@ -85,3 +85,28 @@ def test_bf16_checkpoint_loads_too(tmp_path):
     toks = jnp.asarray([[1, 2, 3, 4]], jnp.int32)
     logits = deepseek_forward(cfg, params, toks, compute_dtype=jnp.float32)
     assert bool(jnp.all(jnp.isfinite(logits)))
+
+
+def test_mtp_layer_skipped(tmp_path):
+    """Official V3/R1 shards carry a multi-token-prediction block at
+    model.layers.<n_layers>; the loader must skip it (it used to
+    IndexError on the out-of-range layer index)."""
+    import os
+
+    from flatquant_tpu.native.safetensors_io import write_safetensors
+
+    d = str(tmp_path / "hf_mtp")
+    os.makedirs(d)
+    write_hf_deepseek_fixture(d, TINY_DEEPSEEK, seed=0, fp8=True)
+    mtp = TINY_DEEPSEEK.n_layers  # one past the decoder stack
+    write_safetensors(
+        os.path.join(d, "model-mtp.safetensors"),
+        {f"model.layers.{mtp}.self_attn.q_proj.weight":
+             np.zeros((4, 4), np.float32),
+         f"model.layers.{mtp}.input_layernorm.weight":
+             np.ones((4,), np.float32)},
+    )
+    cfg = ds_config_from_hf_json(d, name="tiny-deepseek", seqlen=32,
+                                 max_seq_len=256, original_seq_len=64)
+    params = load_hf_deepseek(d, cfg)
+    assert params["dense_layers"]["wkv_a"].shape[0] == cfg.n_dense_layers

@@ -70,3 +70,21 @@ def test_dispatch_thresholds():
                              compute_dtype=jnp.float32, flash_threshold=128)
     np.testing.assert_allclose(np.asarray(long), np.asarray(dense), atol=2e-5,
                                rtol=1e-5)
+
+
+def test_flash_prefill_non_block_multiple_length():
+    """S=1152 (a multiple of 128 but not of the default 256/512 blocks)
+    must run via shrunken blocks, not assert — bucket-padded prompts hit
+    such lengths routinely."""
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    B, S, nh, nkv, hd = 1, 1152, 4, 2, 64
+    q = jnp.asarray(rng.standard_normal((B, S, nh, hd)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, S, nkv, hd)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, S, nkv, hd)), jnp.float32)
+    sm = 1.0 / np.sqrt(hd)
+    got = flash_prefill_ref(q, k, v, sm)
+    want = dense_causal_attention(q, k, v, sm, jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
