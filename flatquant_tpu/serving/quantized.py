@@ -254,9 +254,12 @@ def kron_transform_perm(x, left_right):
 
 def _perm_in_channels(w, ln: int, rn: int):
     """Permute a weight's [out, in] input channels from standard (i*rn+j)
-    to the transposed (j*ln+i) order kron_transform_perm emits."""
-    out = w.shape[0]
-    return w.reshape(out, ln, rn).swapaxes(1, 2).reshape(out, ln * rn)
+    to the transposed (j*ln+i) order kron_transform_perm emits — per
+    ln*rn block when the transform is shard-aligned block-diagonal
+    (in > ln*rn, tp>1), matching the transform's own blocking."""
+    out, ind = w.shape
+    assert ind % (ln * rn) == 0, (ind, ln, rn)
+    return w.reshape(out, -1, ln, rn).swapaxes(2, 3).reshape(out, ind)
 
 
 def _quant_linear(x2d, lin, use_kernel: bool, out_dtype=jnp.bfloat16,

@@ -208,3 +208,32 @@ def test_sharded_calib_step_matches_single_device(mesh8):
         # ulp-level differences slightly (measured max rel diff ~3e-5)
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=5e-4, atol=5e-4)
+
+
+def test_shard_aligned_perm_serving_tp2():
+    """perm_transforms with tp-aligned (block-diagonal) transforms: the
+    input-channel permutation must apply per transform block, matching
+    kron_transform_perm's block-diagonal reshape."""
+    from flatquant_tpu.quantize.bake import bake_model
+    from flatquant_tpu.quantize.spec import W4A4
+    from flatquant_tpu.serving.engine import init_cache, serving_prefill
+    from flatquant_tpu.serving.quantized import build_serving_params
+
+    cfg = get_config("tiny-llama")
+    params = init_params(cfg, seed=5)
+    toks = np.random.default_rng(5).integers(
+        0, cfg.vocab_size, (2, 12)).astype(np.int32)
+    fq = init_model_fq(cfg, W4A4, seed=5, tp=2)
+    bp, bfq = bake_model(cfg, W4A4, params, fq)
+
+    def run(perm):
+        sp = build_serving_params(cfg, W4A4, bp, bfq, dtype=jnp.float32,
+                                  perm_transforms=perm)
+        lr, _ = serving_prefill(cfg, W4A4, sp, jnp.asarray(toks),
+                                init_cache(cfg, 2, 16, dtype=jnp.float32),
+                                use_kernel=False, max_len=16,
+                                compute_dtype=jnp.float32)
+        return np.asarray(lr)
+
+    a, b = run(False), run(True)
+    np.testing.assert_allclose(a, b, rtol=1e-4, atol=2e-4)
