@@ -22,9 +22,7 @@ bf16 cache mode exists for kv16 configs.
 
 from __future__ import annotations
 
-import dataclasses
-from functools import partial
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp
@@ -32,15 +30,12 @@ import jax.numpy as jnp
 from flatquant_tpu.core.transforms import decompose_matrices, single_matrix
 from flatquant_tpu.kernels.int4_matmul import (
     pack_weight_planar,
-    quantize_acts_sym,
-    unpack_weight_planar,
     w4a4_matmul_i8,
     w4a8_matmul,
     w4a8_matmul_ref,
 )
 from flatquant_tpu.core.quant import weight_find_params, weight_quantize_int
 from flatquant_tpu.models.config import LlamaConfig
-from flatquant_tpu.models.llama import apply_rope, rms_norm, rope_tables
 from flatquant_tpu.quantize.spec import FQConfig
 
 
