@@ -547,3 +547,124 @@ def untranspose_kv(codes, params):
     pk = jnp.transpose(codes, (0, 1, 3, 2))
     par = jnp.transpose(params, (0, 1, 3, 2))
     return pk, par[..., 0:1], par[..., 1:2]
+
+
+# ---------------------------------------------------------------------------
+# chunk attention over the v4 packed cache: S_q query rows with per-row
+# causal limits — the FlashInfer *append* kernel analog (the decode kernel
+# generalized from one query to a chunk). Used by chunked prefill
+# (serving/engine.py phase="chunk"): the chunk's K/V are already packed
+# into the cache, and its queries attend history + themselves without the
+# XLA path's full-cache dequant materialization.
+# ---------------------------------------------------------------------------
+
+
+def _chunk_kernel_v4(pos_ref, q_ref, kp_ref, kpar_ref, vp_ref, vpar_ref,
+                     o_ref, m_ref, l_ref, acc_ref, zacc_ref, *, sm_scale,
+                     block_s, sq):
+    """Grid (B, nkv, S//block_s); q rows are (n_rep, Sq) flattened to
+    [R, hd]; row r's query index is r % Sq, attending ids <= pos + r%Sq."""
+    b = pl.program_id(0)
+    si = pl.program_id(2)
+    n_blk = pl.num_programs(2)
+    pos = pos_ref[b]
+
+    @pl.when(si == 0)
+    def _init():
+        m_ref[...] = jnp.full_like(m_ref, -1e30)
+        l_ref[...] = jnp.zeros_like(l_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+        zacc_ref[...] = jnp.zeros_like(zacc_ref)
+
+    q = q_ref[0, 0].astype(jnp.float32)  # [R, hd]
+    R = q.shape[0]
+    qsum = jnp.sum(q, axis=1, keepdims=True)
+
+    kp = kp_ref[0, 0].astype(jnp.int32)  # [hd/2, bs]
+    ck = jnp.concatenate([kp & 0xF, kp >> 4], axis=0).astype(jnp.float32)
+    raw = jax.lax.dot_general(
+        q, ck, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [R, bs]
+    ksc = kpar_ref[0, 0, 0:1, :]
+    kzr = kpar_ref[0, 0, 1:2, :]
+    sc = (raw - qsum * kzr) * ksc * sm_scale
+    ids = si * block_s + jax.lax.broadcasted_iota(jnp.int32, (1, block_s), 1)
+    row_q = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0) % sq
+    sc = jnp.where(ids <= pos + row_q, sc, -jnp.inf)
+
+    m_prev = m_ref[...]
+    m_new = jnp.maximum(
+        jnp.maximum(m_prev, jnp.max(sc, axis=1, keepdims=True)), -1e30)
+    p = jnp.exp(sc - m_new)
+    corr = jnp.exp(m_prev - m_new)
+    m_ref[...] = m_new
+    l_ref[...] = l_ref[...] * corr + jnp.sum(p, axis=1, keepdims=True)
+
+    vsc = vpar_ref[0, 0, 0:1, :]
+    vzr = vpar_ref[0, 0, 1:2, :]
+    p_s = p * vsc
+    vp = vp_ref[0, 0].astype(jnp.int32)
+    cv = jnp.concatenate([vp & 0xF, vp >> 4], axis=0).astype(jnp.float32)
+    pv = jax.lax.dot_general(
+        p_s, cv, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    acc_ref[...] = acc_ref[...] * corr + pv
+    zacc_ref[...] = zacc_ref[...] * corr + jnp.sum(p_s * vzr, axis=1,
+                                                   keepdims=True)
+
+    @pl.when(si == n_blk - 1)
+    def _fin():
+        l = jnp.maximum(l_ref[...], 1e-30)
+        o_ref[0, 0] = ((acc_ref[...] - zacc_ref[...]) / l).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("sm_scale", "block_s", "interpret"))
+def chunk_attention_int4_v4(q, kp, kparam, vp, vparam, pos, sm_scale: float,
+                            block_s: int = 2048, interpret: bool = False):
+    """Chunked-prefill attention over the v4 packed cache.
+
+    q [B, Sq, nh, hd] (chunk queries, already rope'd/k-space-rotated);
+    kp/vp [B, nkv, hd/2, S]; kparam/vparam [B, nkv, 2, S]; pos [B] int32 —
+    the chunk's start position (row s of the chunk attends cache ids
+    <= pos + s; the chunk's own packed K/V must already be written).
+    Returns [B, Sq, nh, hd] in q.dtype.
+    """
+    B, sq, nh, hd = q.shape
+    nkv = kp.shape[1]
+    S = kp.shape[3]
+    n_rep = nh // nkv
+    bs = min(block_s, S)
+    while S % bs:
+        bs //= 2
+    assert bs >= 128 and S % bs == 0, (S, block_s)
+    # [B, Sq, nh, hd] -> [B, nkv, n_rep*Sq, hd], row r = (rep, q_idx)
+    qg = q.reshape(B, sq, nkv, n_rep, hd).transpose(0, 2, 3, 1, 4)
+    qg = qg.reshape(B, nkv, n_rep * sq, hd)
+    R = n_rep * sq
+    out = pl.pallas_call(
+        functools.partial(_chunk_kernel_v4, sm_scale=sm_scale, block_s=bs,
+                          sq=sq),
+        out_shape=jax.ShapeDtypeStruct((B, nkv, R, hd), q.dtype),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(B, nkv, S // bs),
+            in_specs=[
+                pl.BlockSpec((1, 1, R, hd), lambda b, h, s, *_: (b, h, 0, 0)),
+                pl.BlockSpec((1, 1, hd // 2, bs), lambda b, h, s, *_: (b, h, 0, s)),
+                pl.BlockSpec((1, 1, 2, bs), lambda b, h, s, *_: (b, h, 0, s)),
+                pl.BlockSpec((1, 1, hd // 2, bs), lambda b, h, s, *_: (b, h, 0, s)),
+                pl.BlockSpec((1, 1, 2, bs), lambda b, h, s, *_: (b, h, 0, s)),
+            ],
+            out_specs=pl.BlockSpec((1, 1, R, hd), lambda b, h, s, *_: (b, h, 0, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((R, 1), jnp.float32),   # m
+                pltpu.VMEM((R, 1), jnp.float32),   # l
+                pltpu.VMEM((R, hd), jnp.float32),  # acc
+                pltpu.VMEM((R, 1), jnp.float32),   # zacc
+            ],
+        ),
+        interpret=interpret,
+    )(pos.astype(jnp.int32), qg, kp, kparam, vp, vparam)
+    # [B, nkv, n_rep, Sq, hd] -> [B, Sq, nh, hd]
+    out = out.reshape(B, nkv, n_rep, sq, hd).transpose(0, 3, 1, 2, 4)
+    return out.reshape(B, sq, nh, hd)

@@ -348,6 +348,15 @@ def serving_layer_int4cache(
         from flatquant_tpu.kernels.prefill_attention import prefill_attention
 
         attn = prefill_attention(q, k, v, sm_scale, use_kernel, compute_dtype)
+    elif phase == "chunk" and use_kernel:
+        # chunked prefill on-device: the Pallas chunk kernel (FlashInfer
+        # append analog) streams the packed cache once — no dequant
+        # materialization
+        from flatquant_tpu.kernels.kv_cache import chunk_attention_int4_v4
+
+        pos_vec = jnp.full((B,), pos, jnp.int32)
+        attn = chunk_attention_int4_v4(q, kp, kparam, vp, vparam, pos_vec,
+                                       sm_scale).astype(compute_dtype)
     elif phase == "chunk":
         # chunked prefill: S query rows attend over the packed cache
         # (history + this chunk, all quantized — decode semantics; the

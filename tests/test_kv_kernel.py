@@ -173,3 +173,46 @@ def test_v4_layout_roundtrip():
                                   np.asarray(jnp.swapaxes(sc0, 1, 2)))
     np.testing.assert_array_equal(np.asarray(kz),
                                   np.asarray(jnp.swapaxes(zr0, 1, 2)))
+
+
+def test_chunk_attention_matches_dense(rng):
+    """chunk_attention_int4_v4 (interpret) == dense masked attention over
+    the dequantized cache, across GQA ratios and chunk offsets — the
+    FlashInfer append-kernel analog used by chunked prefill."""
+    from flatquant_tpu.kernels.kv_cache import (
+        chunk_attention_int4_v4,
+        pack_kv_transposed,
+        untranspose_kv,
+        unpack_dequant_kv,
+    )
+
+    for nh, nkv, sq, pos0 in ((4, 4, 8, 5), (8, 2, 4, 0), (4, 2, 16, 48)):
+        B, S, hd = 2, 128, 64
+        kv = rng.standard_normal((B, S, nkv, hd)).astype(np.float32)
+        vv = rng.standard_normal((B, S, nkv, hd)).astype(np.float32)
+        q = jnp.asarray(rng.standard_normal((B, sq, nh, hd)), jnp.float32)
+        kp, kpar = pack_kv_transposed(jnp.asarray(kv))
+        vp, vpar = pack_kv_transposed(jnp.asarray(vv))
+        pos = jnp.full((B,), pos0, jnp.int32)
+        sm = 1.0 / np.sqrt(hd)
+
+        got = chunk_attention_int4_v4(q, kp, kpar, vp, vpar, pos, sm,
+                                      interpret=True)
+
+        # dense reference over the dequantized cache
+        kpo, kso, kzo = untranspose_kv(kp, kpar)
+        vpo, vso, vzo = untranspose_kv(vp, vpar)
+        kd = unpack_dequant_kv(kpo, kso, kzo, jnp.float32)  # [B,nkv,S,hd]
+        vd = unpack_dequant_kv(vpo, vso, vzo, jnp.float32)
+        n_rep = nh // nkv
+        if n_rep > 1:
+            kd = jnp.repeat(kd, n_rep, axis=1)
+            vd = jnp.repeat(vd, n_rep, axis=1)
+        sc = jnp.einsum("bqhd,bhkd->bhqk", q, kd) * sm
+        ids = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, S), 3)
+        iq = jax.lax.broadcasted_iota(jnp.int32, (1, 1, sq, 1), 2)
+        sc = jnp.where(ids <= pos0 + iq, sc, -jnp.inf)
+        pr = jax.nn.softmax(sc, axis=-1)
+        want = jnp.einsum("bhqk,bhkd->bqhd", pr, vd)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-5, atol=2e-5)
