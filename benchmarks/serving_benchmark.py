@@ -55,49 +55,58 @@ def build(cfg, perm):
 
 
 def throughput(cfg, sp, cache_mode, use_kernel, prompts, n_new, max_len):
-    b = ContinuousBatcher(cfg, W4A4KV4, sp, batch_slots=4, max_len=max_len,
-                          cache_mode=cache_mode, use_kernel=use_kernel,
-                          compute_dtype=jnp.bfloat16, prefill_bucket=128)
-    for p in prompts:
-        b.submit(p, n_new)
-    # warm compiles outside the timed run
-    b.step(); b.step()
-    t0 = time.perf_counter()
-    done = b.run(max_steps=100000)
-    dt = time.perf_counter() - t0
-    toks = sum(len(v) for v in done.values())
+    def one_pass():
+        b = ContinuousBatcher(cfg, W4A4KV4, sp, batch_slots=4, max_len=max_len,
+                              cache_mode=cache_mode, use_kernel=use_kernel,
+                              compute_dtype=jnp.bfloat16, prefill_bucket=128)
+        for p in prompts:
+            b.submit(p, n_new)
+        t0 = time.perf_counter()
+        done = b.run(max_steps=100000)
+        dt = time.perf_counter() - t0
+        return sum(len(v) for v in done.values()), dt
+
+    one_pass()  # warm: compiles every prefill bucket + decode shape untimed
+    toks, dt = one_pass()
     return toks / dt, toks
 
 
 def decode_stall(cfg, sp, chunk, use_kernel, long_s, max_len):
     """Max wall gap between an active stream's tokens while a long prompt
-    admits."""
+    admits. The scenario runs twice; the first (untimed) pass compiles
+    every program the second pass will hit (seat/chunk/prefill/decode),
+    so the timed gaps measure steps, not compiles."""
     rng = np.random.default_rng(0)
-    b = ContinuousBatcher(cfg, W4A4KV4, sp, batch_slots=2, max_len=max_len,
-                          cache_mode="int4", use_kernel=use_kernel,
-                          compute_dtype=jnp.bfloat16,
-                          prefill_chunk=chunk,
-                          prefill_bucket=0 if chunk else long_s)
     short = rng.integers(0, cfg.vocab_size, (16,)).astype(np.int32)
     longp = rng.integers(0, cfg.vocab_size, (long_s,)).astype(np.int32)
-    b.submit(short, max_new_tokens=64)
-    b.step()  # seat + first decode (compiles)
-    b.step()
-    req = next(r for r in b.slot_req if r is not None)
-    b.submit(longp, max_new_tokens=8)
-    b.step()  # compiles the chunk/prefill program
-    gaps = []
-    last = time.perf_counter()
-    n0 = len(req.out_tokens)
-    for _ in range(40):
+
+    def one_pass(timed):
+        b = ContinuousBatcher(cfg, W4A4KV4, sp, batch_slots=2, max_len=max_len,
+                              cache_mode="int4", use_kernel=use_kernel,
+                              compute_dtype=jnp.bfloat16,
+                              prefill_chunk=chunk,
+                              prefill_bucket=0 if chunk else long_s)
+        b.submit(short, max_new_tokens=64)
+        b.step()  # seat + first decode
         b.step()
-        now = time.perf_counter()
-        if len(req.out_tokens) > n0:
-            gaps.append(now - last)
-            n0 = len(req.out_tokens)
-            last = now
-        if b.idle:
-            break
+        req = next(r for r in b.slot_req if r is not None)
+        b.submit(longp, max_new_tokens=8)
+        gaps = []
+        last = time.perf_counter()
+        n0 = len(req.out_tokens)
+        for _ in range(64):
+            b.step()
+            now = time.perf_counter()
+            if len(req.out_tokens) > n0:
+                gaps.append(now - last)
+                n0 = len(req.out_tokens)
+                last = now
+            if b.idle:
+                break
+        return gaps
+
+    one_pass(timed=False)
+    gaps = one_pass(timed=True)
     return max(gaps) * 1e3, float(np.median(gaps)) * 1e3
 
 
@@ -110,6 +119,10 @@ def main():
     ap.add_argument("--platform", default=None, choices=["cpu", "tpu"],
                     help="cpu: run the tiny config off-TPU (backend not yet "
                          "initialized at this point, so the override works)")
+    ap.add_argument("--perm", action="store_true",
+                    help="perm (one-copy) transform layout; device-traced "
+                         "slower end-to-end (tools/perm_compare.py), so off "
+                         "by default")
     args = ap.parse_args()
     if args.platform == "cpu":
         jax.config.update("jax_platforms", "cpu")
@@ -127,7 +140,7 @@ def main():
         args.long_s = min(args.long_s, 48)
 
     use_kernel = jax.default_backend() == "tpu"
-    sp = build(cfg, perm=True)
+    sp = build(cfg, perm=args.perm)
     rng = np.random.default_rng(1)
     prompts = [rng.integers(0, cfg.vocab_size, (n,)).astype(np.int32)
                for n in plens]

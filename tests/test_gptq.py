@@ -54,6 +54,29 @@ def test_gptq_grouped(rng):
     assert _recon_err(x, w, wq) < _recon_err(x, w, jnp.zeros_like(w))
 
 
+def test_gptq_act_order_with_groups(rng):
+    """act_order + group_size combo (untested in the reference too): group
+    scales are recomputed on the permuted column order, blocked and
+    per-column schedules agree, and error feedback still beats RTN."""
+    n, out, N = 256, 16, 512
+    basis = rng.standard_normal((16, n)) * np.linspace(0.2, 4.0, n)
+    x = rng.standard_normal((N, 16)) @ basis + 0.1 * rng.standard_normal((N, n))
+    x = jnp.asarray(x, jnp.float32)
+    w = jnp.asarray(rng.standard_normal((out, n)), jnp.float32)
+    hess = 2.0 * x.T @ x
+    cfg = WeightQuantCfg(bits=4, sym=True, group_size=32)
+
+    wq_blk = gptq_quantize_weight(w, hess, cfg, act_order=True, block_size=128)
+    wq_col = gptq_quantize_weight(w, hess, cfg, act_order=True, block_size=1)
+    assert bool(jnp.isfinite(wq_blk).all())
+    np.testing.assert_allclose(np.asarray(wq_blk), np.asarray(wq_col),
+                               atol=1e-4, rtol=1e-4)
+
+    scale, zero = weight_find_params(w, cfg)
+    w_rtn = weight_fake_quant(w, scale, zero, cfg)
+    assert _recon_err(x, w, wq_blk) < _recon_err(x, w, w_rtn)
+
+
 def test_gptq_act_order(rng):
     n, out, N = 32, 8, 128
     x = jnp.asarray(rng.standard_normal((N, n)) * jnp.linspace(0.1, 5.0, n), jnp.float32)

@@ -237,3 +237,45 @@ def test_shard_aligned_perm_serving_tp2():
 
     a, b = run(False), run(True)
     np.testing.assert_allclose(a, b, rtol=1e-4, atol=2e-4)
+
+
+def test_dist_checkpoint_reshard(tmp_path, mesh8):
+    """Sharded orbax checkpoint round-trip with topology change: write with
+    tp=4/dp=2, restore onto tp=2/dp=4 — the reference's per-rank
+    model{rank}-mp{ws}.safetensors format cannot do this without an
+    offline reshard (main_dpskv3.py:416,446)."""
+    from flatquant_tpu.utils.dist_checkpoint import load_sharded, save_sharded
+
+    cfg = get_config("tiny-llama")
+    params = init_params(cfg, seed=0)
+    specs = llama_param_specs(cfg, params)
+    sharded = shard_tree(params, specs, mesh8)
+
+    path = save_sharded(str(tmp_path / "ckpt"), sharded)
+
+    mesh2 = make_mesh({"dp": 4, "tp": 2})
+    restored = load_sharded(path, params, mesh=mesh2, specs=specs)
+
+    for (ka, a), (kb, b) in zip(
+        sorted(jax.tree_util.tree_leaves_with_path(params),
+               key=lambda t: str(t[0])),
+        sorted(jax.tree_util.tree_leaves_with_path(restored),
+               key=lambda t: str(t[0])),
+    ):
+        assert str(ka) == str(kb)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b), err_msg=str(ka))
+    # restored leaves actually live on the new mesh
+    lw = restored["layers"]["wq"]
+    assert lw.sharding.mesh.shape == {"dp": 4, "tp": 2}
+
+
+def test_dist_checkpoint_replicated_roundtrip(tmp_path):
+    """No-mesh usage: plain pytree save/restore (single-device calib resume)."""
+    from flatquant_tpu.utils.dist_checkpoint import load_sharded, save_sharded
+
+    cfg = get_config("tiny-llama")
+    fq = init_model_fq(cfg, W4A4KV4, seed=3)
+    path = save_sharded(str(tmp_path / "fq"), fq)
+    restored = load_sharded(path, fq)
+    for a, b in zip(jax.tree.leaves(fq), jax.tree.leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
