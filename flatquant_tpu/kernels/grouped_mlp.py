@@ -1,0 +1,311 @@
+"""Grouped (relayout-free) MLP pipeline for the quantized serving path.
+
+The down_proj's online Kronecker transform is the last structural glue in
+prefill: XLA lowers the left-factor contraction of kron(L[G,G], R[128,128])
+over act [T, G*128] as a batched matmul wrapped in layout copies
+(~250 us/layer device-traced at llama-2-7b dims, S=2048 — the relayout is
+physical HBM traffic, not fusible). The reference's Triton kron_matmul
+(deploy/kernels/kron_matmul.py) dodges this with an in-CTA smem transpose;
+Mosaic on this toolchain has no equivalent relayout primitive (see
+fused_trans_quant.py). The TPU answer is to never materialize the
+[T, G*128] layout at all:
+
+  1. w4a4_swiglu_grouped: the merged up||gate GEMM epilogue computes
+     silu(gate)*up AND the right-factor dot (per 128-column group), writing
+     Y grouped as [G, T, 128].
+  2. The LEFT contraction is then one clean 2D matmul
+     L^T[G,G] @ Y.reshape(G, T*128) — contraction on the leading dim of a
+     row-major 2D array: no batched-matmul relayout, no copies.
+  3. quant_acts_i8_grouped: per-token scales reduce over (G, lanes) of
+     [G, bt, 128] blocks; int8 codes stay grouped.
+  4. w4a4_matmul_i8_grouped: the down GEMM consumes grouped codes
+     directly — the planar-packed weight's byte-column block b holds
+     column group b in the low nibbles and group b + G/2 in the high
+     nibbles, so the K loop walks byte blocks and issues two K=128 MXU
+     dots per step. Dequant epilogue identical to w4a4_matmul_i8.
+
+All four steps are HBM-minimal: the only traffic is each tensor once.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _swiglu_grouped_kernel(x_ref, wpu_ref, wpg_ref, sx_ref, swu_ref,
+                           swg_ref, r_ref, o_ref, *, gb):
+    xu = x_ref[:]  # int8 codes [bm, K]
+    nib_u = jnp.concatenate(
+        [wpu_ref[:].astype(jnp.int32) & 0xF, wpu_ref[:].astype(jnp.int32) >> 4],
+        axis=1).astype(jnp.int8)
+    nib_g = jnp.concatenate(
+        [wpg_ref[:].astype(jnp.int32) & 0xF, wpg_ref[:].astype(jnp.int32) >> 4],
+        axis=1).astype(jnp.int8)
+    acc_u = jax.lax.dot_general(
+        xu, nib_u, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32)
+    acc_g = jax.lax.dot_general(
+        xu, nib_g, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32)
+    rowsum = jnp.sum(xu.astype(jnp.int32), axis=1, keepdims=True)
+    sx = sx_ref[:]
+    u = (acc_u - 8 * rowsum).astype(jnp.float32) * sx * swu_ref[:]
+    g = (acc_g - 8 * rowsum).astype(jnp.float32) * sx * swg_ref[:]
+    act = (u * (g * jax.nn.sigmoid(g))).astype(jnp.bfloat16)  # [bm, gb*128]
+    r = r_ref[:]  # [128, 128] bf16 right Kronecker factor
+    for gl in range(gb):
+        seg = act[:, gl * 128:(gl + 1) * 128]
+        o_ref[gl] = jax.lax.dot_general(
+            seg, r, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block_m", "block_n", "interpret")
+)
+def w4a4_swiglu_grouped(
+    x_q,
+    x_scale,
+    w_packed,
+    w_scale,
+    right,
+    block_m: int = 512,
+    block_n: int = 512,
+    interpret: bool = False,
+):
+    """Y[G, M, 128] = group_r(silu(deq(x@gate.T)) * deq(x@up.T)) @ right.
+
+    w_packed [2*G*128, K/2]: merged up||gate planar pack (rows [0, G*128)
+    = up). right [128, 128]: the Kronecker right factor, applied per
+    128-column group in the epilogue. Output is bf16 in the grouped
+    layout [G, M, 128] (group g = columns [g*128, (g+1)*128) of the
+    standard layout).
+    """
+    m, k = x_q.shape
+    n2 = w_packed.shape[0]
+    nh = n2 // 2
+    n_groups = nh // 128
+    assert x_q.dtype == jnp.int8 and w_packed.shape[1] * 2 == k
+    assert nh % 128 == 0 and right.shape == (128, 128)
+    bm = min(block_m, m)
+    units = nh // 128
+    d = max(u for u in range(1, min(units, block_n // 128) + 1)
+            if units % u == 0)
+    bn = 128 * d
+    gb = bn // 128
+    while (bm * k + 2 * (bn * k // 2) + 2 * bn * k + 10 * bm * bn
+           > 11 * 2**20 and bm > 128):
+        bm //= 2
+    gridj = nh // bn
+    sw = w_scale.reshape(1, n2).astype(jnp.float32)
+    sx = x_scale.reshape(m, 1).astype(jnp.float32)
+
+    return pl.pallas_call(
+        functools.partial(_swiglu_grouped_kernel, gb=gb),
+        out_shape=jax.ShapeDtypeStruct((n_groups, m, 128), jnp.bfloat16),
+        grid_spec=pl.GridSpec(
+            grid=(pl.cdiv(m, bm), gridj),
+            in_specs=[
+                pl.BlockSpec((bm, k), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((bn, k // 2), lambda i, j: (j, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((bn, k // 2), lambda i, j, gj=gridj: (j + gj, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((bm, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, bn), lambda i, j, gj=gridj: (0, j + gj),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((128, 128), lambda i, j: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (gb, bm, 128), lambda i, j: (j, i, 0), memory_space=pltpu.VMEM
+            ),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m * n2 * k + 2 * m * nh * 128,
+            bytes_accessed=m * k + n2 * k // 2 + m * nh * 2,
+            transcendentals=m * nh,
+        ),
+        interpret=interpret,
+    )(x_q, w_packed, w_packed, sx, sw, sw, right.astype(jnp.bfloat16))
+
+
+def _quant_i8_grouped_kernel(x_ref, clip_ref, q_ref, s_ref, *, q_max):
+    xb = x_ref[:]  # bf16 [G, bt, 128]
+    zero = jnp.zeros((), xb.dtype)
+    xmax = jnp.max(jnp.maximum(xb, zero), axis=(0, 2)).astype(jnp.float32)
+    xmin = jnp.min(jnp.minimum(xb, zero), axis=(0, 2)).astype(jnp.float32)
+    xmax = (xmax * clip_ref[0, 0])[:, None]  # [bt, 1]
+    xmin = (xmin * clip_ref[0, 1])[:, None]
+    absmax = jnp.maximum(jnp.abs(xmin), xmax)
+    xs = jnp.where(absmax == 0, 1.0, absmax / q_max)
+    s_ref[:] = xs
+    q_ref[:] = jnp.clip(
+        jnp.round(xb.astype(jnp.float32) / xs[None, :, :]), -q_max - 1, q_max
+    ).astype(jnp.int8)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("q_max", "block_t", "interpret")
+)
+def quant_acts_i8_grouped(x, clip=None, q_max: int = 7, block_t: int = 64,
+                          interpret: bool = False):
+    """Per-token quant over the grouped layout: x [G, T, 128] ->
+    (int8 codes [G, T, 128], f32 scales [T, 1]). Token t's row is the
+    concatenation over G of x[:, t, :]; scale math identical to
+    quant_acts_i8 / the serving XLA chain."""
+    g, t, lw = x.shape
+    assert lw == 128
+    bt = min(block_t, t)
+    while g * bt * 128 * (2 * jnp.dtype(x.dtype).itemsize + 2 + 8) > 10 * 2**20 \
+            and bt > 8:
+        bt //= 2
+    if clip is None:
+        clip_arr = jnp.ones((1, 2), jnp.float32)
+    else:
+        clip_arr = jnp.stack(
+            [clip[0].reshape(()), clip[1].reshape(())]
+        ).reshape(1, 2).astype(jnp.float32)
+
+    return pl.pallas_call(
+        functools.partial(_quant_i8_grouped_kernel, q_max=q_max),
+        out_shape=(
+            jax.ShapeDtypeStruct((g, t, 128), jnp.int8),
+            jax.ShapeDtypeStruct((t, 1), jnp.float32),
+        ),
+        grid_spec=pl.GridSpec(
+            grid=(pl.cdiv(t, bt),),
+            in_specs=[
+                pl.BlockSpec((g, bt, 128), lambda i: (0, i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec((g, bt, 128), lambda i: (0, i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((bt, 1), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * g * t * 128,
+            bytes_accessed=g * t * 128 * (jnp.dtype(x.dtype).itemsize + 1),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x, clip_arr)
+
+
+def _w4a4_grouped_gemm_kernel(x_ref, wp_ref, sx_ref, sw_ref, o_ref, *,
+                              half_groups, out_dtype):
+    bm = x_ref.shape[1]
+    bn = wp_ref.shape[0]
+
+    def body(b, carry):
+        acc, rowsum = carry
+        wp = wp_ref[:, pl.ds(b * 128, 128)].astype(jnp.int32)
+        lo = (wp & 0xF).astype(jnp.int8)   # [bn, 128] = column group b
+        hi = (wp >> 4).astype(jnp.int8)    # group b + half_groups
+        x_lo = x_ref[b]
+        x_hi = x_ref[b + half_groups]
+        acc = acc + jax.lax.dot_general(
+            x_lo, lo, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        acc = acc + jax.lax.dot_general(
+            x_hi, hi, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        rowsum = rowsum + jnp.sum(x_lo.astype(jnp.int32), axis=1,
+                                  keepdims=True)
+        rowsum = rowsum + jnp.sum(x_hi.astype(jnp.int32), axis=1,
+                                  keepdims=True)
+        return acc, rowsum
+
+    acc0 = jnp.zeros((bm, bn), jnp.int32)
+    rs0 = jnp.zeros((bm, 1), jnp.int32)
+    acc, rowsum = jax.lax.fori_loop(0, half_groups, body, (acc0, rs0))
+    out = (acc - 8 * rowsum).astype(jnp.float32) * sx_ref[:] * sw_ref[:]
+    o_ref[:] = out.astype(out_dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("out_dtype", "block_m", "block_n", "interpret")
+)
+def w4a4_matmul_i8_grouped(
+    x_q,
+    x_scale,
+    w_packed,
+    w_scale,
+    out_dtype=jnp.bfloat16,
+    block_m: int = 256,
+    block_n: int = 512,
+    interpret: bool = False,
+):
+    """y[M, N] = dequant( flatten(x_q) @ unpack(w_packed)^T ) where x_q is
+    the grouped layout [G, M, 128] (flatten: column g*128+j = x_q[g, :, j]).
+
+    G must be even: the planar pack's byte block b covers groups b (low
+    nibbles) and b + G/2 (high nibbles). Bit-identical integer math to
+    w4a4_matmul_i8 on the flattened layout.
+    """
+    g, m, lw = x_q.shape
+    k = g * 128
+    n = w_packed.shape[0]
+    assert lw == 128 and g % 2 == 0
+    assert w_packed.shape[1] * 2 == k and x_q.dtype == jnp.int8
+    bm = min(block_m, m)
+    bn = min(block_n, n)
+    # VMEM: grouped x block (g*bm*128 i8, dbuf) + wp (bn*k/2, dbuf) +
+    # per-iter unpack (~6*bn*128) + acc/out
+    while (2 * g * bm * 128 + 2 * bn * k // 2 + 6 * bn * 128
+           + 10 * bm * bn > 11 * 2**20 and max(bm, bn) > 128):
+        if bm >= bn:
+            bm //= 2
+        else:
+            bn //= 2
+    sw = w_scale.reshape(1, n).astype(jnp.float32)
+    sx = x_scale.reshape(m, 1).astype(jnp.float32)
+
+    return pl.pallas_call(
+        functools.partial(_w4a4_grouped_gemm_kernel, half_groups=g // 2,
+                          out_dtype=out_dtype),
+        out_shape=jax.ShapeDtypeStruct((m, n), out_dtype),
+        grid_spec=pl.GridSpec(
+            grid=(pl.cdiv(m, bm), pl.cdiv(n, bn)),
+            in_specs=[
+                pl.BlockSpec((g, bm, 128), lambda i, j: (0, i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((bn, k // 2), lambda i, j: (j, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((bm, 1), lambda i, j: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, bn), lambda i, j: (0, j),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (bm, bn), lambda i, j: (i, j), memory_space=pltpu.VMEM
+            ),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m * n * k,
+            bytes_accessed=m * k + n * k // 2
+            + m * n * jnp.dtype(out_dtype).itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x_q, w_packed, sx, sw)
+
+
+def group_layout(x2d, n_groups: int):
+    """[T, G*128] -> [G, T, 128] (test/reference helper)."""
+    t = x2d.shape[0]
+    return x2d.reshape(t, n_groups, 128).transpose(1, 0, 2)
+
+
+def ungroup_layout(xg):
+    """[G, T, 128] -> [T, G*128] (test/reference helper)."""
+    g, t, _ = xg.shape
+    return xg.transpose(1, 0, 2).reshape(t, g * 128)

@@ -99,6 +99,91 @@ def quantize_acts_sym(x, q_max: int = 7, clip_max=None):
 
 
 # ---------------------------------------------------------------------------
+# standalone per-token quant kernel (prefill shapes)
+#
+# XLA lowers the quant chain (f32 convert + minmax reduce + divide + clamp +
+# int8 convert) as 3 separate HBM passes — device-traced 336 us at
+# [2048, 11008] vs an 83 us single-pass floor. This kernel keeps each
+# m-block VMEM-resident across both the reduce and the write, so HBM
+# traffic is exactly one bf16 read + one int8 write. Unlike the
+# fused-quant GEMM above (measured negative: it stole the GEMM's tiles),
+# this runs as its own pass and leaves w4a4_matmul_i8 at full tile size.
+# Scale rule byte-identical to _quant_linear / deploy quant_utils.py:88-108.
+# ---------------------------------------------------------------------------
+
+
+def _quant_i8_kernel(x_ref, clip_ref, q_ref, s_ref, *, q_max):
+    xb = x_ref[:]  # bf16/f32 [bm, K]
+    # max/min computed in the input dtype, then widened: bf16 -> f32
+    # conversion is exact and monotone, so max(f32(x)) == f32(max(x)) —
+    # bit-identical to the XLA chain's convert-first order. The zero
+    # clamp (maximum(., 0)) reproduces the reference's max(xmax, 0).
+    zero = jnp.zeros((), xb.dtype)
+    xmax = jnp.max(jnp.maximum(xb, zero), axis=1, keepdims=True).astype(jnp.float32)
+    xmin = jnp.min(jnp.minimum(xb, zero), axis=1, keepdims=True).astype(jnp.float32)
+    xmax = xmax * clip_ref[0, 0]
+    xmin = xmin * clip_ref[0, 1]
+    absmax = jnp.maximum(jnp.abs(xmin), xmax)
+    xs = jnp.where(absmax == 0, 1.0, absmax / q_max)
+    s_ref[:] = xs
+    q_ref[:] = jnp.clip(
+        jnp.round(xb.astype(jnp.float32) / xs), -q_max - 1, q_max
+    ).astype(jnp.int8)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("q_max", "block_m", "interpret")
+)
+def quant_acts_i8(x, clip=None, q_max: int = 7, block_m: int = 256,
+                  interpret: bool = False):
+    """Per-token symmetric quant: x [M, K] fp -> (int8 codes [M, K],
+    f32 scales [M, 1]) in one HBM pass.
+
+    clip: optional (rmax, rmin) already-sigmoided LAC factors (scalars).
+    Bit-identical math to the XLA chain in serving _quant_linear.
+    """
+    m, k = x.shape
+    assert k % 128 == 0, k
+    bm = min(block_m, m)
+    # VMEM: x in (double-buffered) + int8 out (double-buffered) + two
+    # whole-block f32 temporaries (the widened x and the scaled quotient)
+    while (bm * k * (2 * jnp.dtype(x.dtype).itemsize + 2 * 1 + 8) > 10 * 2**20
+           and bm > 64):
+        bm //= 2
+    if clip is None:
+        clip_arr = jnp.ones((1, 2), jnp.float32)
+    else:
+        clip_arr = jnp.stack(
+            [clip[0].reshape(()), clip[1].reshape(())]
+        ).reshape(1, 2).astype(jnp.float32)
+
+    return pl.pallas_call(
+        functools.partial(_quant_i8_kernel, q_max=q_max),
+        out_shape=(
+            jax.ShapeDtypeStruct((m, k), jnp.int8),
+            jax.ShapeDtypeStruct((m, 1), jnp.float32),
+        ),
+        grid_spec=pl.GridSpec(
+            grid=(pl.cdiv(m, bm),),
+            in_specs=[
+                pl.BlockSpec((bm, k), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec((bm, k), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((bm, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            ),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * m * k,
+            bytes_accessed=m * k * jnp.dtype(x.dtype).itemsize + m * k + 4 * m,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x, clip_arr)
+
+
+# ---------------------------------------------------------------------------
 # the kernel
 # ---------------------------------------------------------------------------
 
@@ -279,6 +364,108 @@ def w4a4_matmul_i8(
         ),
         interpret=interpret,
     )(x_q, w_packed, sx, sw)
+
+
+# ---------------------------------------------------------------------------
+# SwiGLU-fused variant: the merged up||gate GEMM computes silu(gate)*up in
+# the epilogue and emits [M, N/2] directly. Saves writing the [M, 22016]
+# bf16 intermediate + re-reading 3x of it for the silu multiply
+# (~180 MB -> ~220 us/layer at llama-2-7b prefill S=2048). No weight
+# relayout: the kernel reads the up-row block and the matching gate-row
+# block of the SAME planar-packed array through two BlockSpecs whose index
+# maps are offset by N/2 blocks. Replaces the reference deploy path's
+# separate up/gate GEMMs + eager SiLU (modeling_llama.py MLP).
+# ---------------------------------------------------------------------------
+
+
+def _w4a4_i8_swiglu_kernel(x_ref, wpu_ref, wpg_ref, sx_ref, swu_ref,
+                           swg_ref, o_ref, *, out_dtype):
+    xu = x_ref[:]  # int8 codes [bm, K]
+    nib_u = jnp.concatenate(
+        [wpu_ref[:].astype(jnp.int32) & 0xF, wpu_ref[:].astype(jnp.int32) >> 4],
+        axis=1).astype(jnp.int8)
+    nib_g = jnp.concatenate(
+        [wpg_ref[:].astype(jnp.int32) & 0xF, wpg_ref[:].astype(jnp.int32) >> 4],
+        axis=1).astype(jnp.int8)
+    acc_u = jax.lax.dot_general(
+        xu, nib_u, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32)
+    acc_g = jax.lax.dot_general(
+        xu, nib_g, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32)
+    rowsum = jnp.sum(xu.astype(jnp.int32), axis=1, keepdims=True)
+    sx = sx_ref[:]
+    u = (acc_u - 8 * rowsum).astype(jnp.float32) * sx * swu_ref[:]
+    g = (acc_g - 8 * rowsum).astype(jnp.float32) * sx * swg_ref[:]
+    o_ref[:] = (u * (g * jax.nn.sigmoid(g))).astype(out_dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("out_dtype", "block_m", "block_n", "interpret")
+)
+def w4a4_matmul_i8_swiglu(
+    x_q,
+    x_scale,
+    w_packed,
+    w_scale,
+    out_dtype=jnp.bfloat16,
+    block_m: int = 512,
+    block_n: int = 512,
+    interpret: bool = False,
+):
+    """out[M, N/2] = silu(deq(x@gate.T)) * deq(x@up.T), int8 MXU.
+
+    w_packed [N, K/2]: merged projection, rows [0, N/2) = up,
+    [N/2, N) = gate (build_serving_params merge order). block_n is the
+    per-projection (half) block width.
+    """
+    m, k = x_q.shape
+    n2 = w_packed.shape[0]
+    nh = n2 // 2
+    assert x_q.dtype == jnp.int8 and w_packed.shape[1] * 2 == k
+    assert nh % 128 == 0, nh
+    bm = min(block_m, m)
+    # bn must DIVIDE nh: the gate BlockSpec addresses row-block j + gridj,
+    # which only lands at row nh when gridj*bn == nh exactly. Largest
+    # 128-multiple divisor of nh that fits block_n (nh=11008 -> 256).
+    units = nh // 128
+    d = max(u for u in range(1, min(units, block_n // 128) + 1)
+            if units % u == 0)
+    bn = 128 * d
+    # VMEM: x + 2 weight blocks + 2 unpacked nibble sets + 2 int32 accs
+    while (bm * k + 2 * (bn * k // 2) + 2 * bn * k + 10 * bm * bn
+           > 11 * 2**20 and bm > 128):
+        bm //= 2
+    gridj = nh // bn
+    sw = w_scale.reshape(1, n2).astype(jnp.float32)
+    sx = x_scale.reshape(m, 1).astype(jnp.float32)
+
+    return pl.pallas_call(
+        functools.partial(_w4a4_i8_swiglu_kernel, out_dtype=out_dtype),
+        out_shape=jax.ShapeDtypeStruct((m, nh), out_dtype),
+        grid_spec=pl.GridSpec(
+            grid=(pl.cdiv(m, bm), gridj),
+            in_specs=[
+                pl.BlockSpec((bm, k), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((bn, k // 2), lambda i, j: (j, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((bn, k // 2), lambda i, j, gj=gridj: (j + gj, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((bm, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, bn), lambda i, j, gj=gridj: (0, j + gj),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (bm, bn), lambda i, j: (i, j), memory_space=pltpu.VMEM
+            ),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m * n2 * k,
+            bytes_accessed=m * k + n2 * k // 2
+            + m * nh * jnp.dtype(out_dtype).itemsize,
+            transcendentals=m * nh,
+        ),
+        interpret=interpret,
+    )(x_q, w_packed, w_packed, sx, sw, sw)
 
 
 # ---------------------------------------------------------------------------

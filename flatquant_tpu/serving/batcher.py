@@ -88,8 +88,15 @@ class ContinuousBatcher:
             # silently overwrite history rows and misalign rope
             assert max_len % prefill_chunk == 0, (max_len, prefill_chunk)
         self.pending = None  # in-flight chunked prefill state
-        self.cache = init_cache(cfg, batch_slots, max_len, dtype=compute_dtype,
-                                mode=cache_mode)
+        # explicitly COMMIT fresh caches to the device: jit specializes its
+        # executable on argument committed-ness, so an uncommitted zeros
+        # cache would compile one program for the first call and a second
+        # one when the (committed) outputs feed back — device-traced as a
+        # 3.8 s mid-serving stall on the second prefill chunk
+        self._dev = jax.devices()[0]
+        self.cache = jax.device_put(
+            init_cache(cfg, batch_slots, max_len, dtype=compute_dtype,
+                       mode=cache_mode), self._dev)
         self.pos = np.zeros(batch_slots, np.int32)  # current length per slot
         self.remaining = np.zeros(batch_slots, np.int32)
         self.slot_req: List[Optional[Request]] = [None] * batch_slots
@@ -163,8 +170,9 @@ class ContinuousBatcher:
         C = self.prefill_chunk
         S_pad = min(-(-S // C) * C, self.max_len)
         toks = np.pad(req.prompt, (0, S_pad - S))
-        cache1 = init_cache(self.cfg, 1, self.max_len, dtype=self.compute_dtype,
-                            mode=self.cache_mode)
+        cache1 = jax.device_put(
+            init_cache(self.cfg, 1, self.max_len, dtype=self.compute_dtype,
+                       mode=self.cache_mode), self._dev)
         self.pending = {"slot": slot, "req": req, "toks": toks, "S": S,
                         "cache1": cache1, "ci": 0, "n": S_pad // C}
 
@@ -206,8 +214,9 @@ class ContinuousBatcher:
             S_pad = -(-S // self.prefill_bucket) * self.prefill_bucket
             S_pad = min(S_pad, self.max_len)
             toks = np.pad(toks, (0, S_pad - S))
-        cache1 = init_cache(self.cfg, 1, self.max_len, dtype=self.compute_dtype,
-                            mode=self.cache_mode)
+        cache1 = jax.device_put(
+            init_cache(self.cfg, 1, self.max_len, dtype=self.compute_dtype,
+                       mode=self.cache_mode), self._dev)
         logits, cache1 = self._prefill_one(
             self.sp, jnp.asarray(toks[None, :]), cache1,
             jnp.asarray([S - 1], np.int32),

@@ -33,6 +33,7 @@ from flatquant_tpu.models.llama import rms_norm, rope_tables
 from flatquant_tpu.quantize.spec import FQConfig
 from flatquant_tpu.serving.quantized import (
     _quant_linear,
+    _quant_swiglu,
     dequantize_kv,
     kron_transform,
     kron_transform_perm,
@@ -242,12 +243,14 @@ def serving_layer(
     elif "ug_t" in sl:
         h2 = kron_transform(h2, sl["ug_t"])
     if "upgate" in sl:
-        ug = qlin(h2, sl["upgate"])
-        up, gate = jnp.split(ug, 2, axis=-1)
+        act = _quant_swiglu(h2.reshape(-1, h2.shape[-1]), sl["upgate"],
+                            use_kernel, compute_dtype,
+                            fq_cfg.a_cfg.enabled, fq_cfg.a_cfg.q_max)
+        act = act.reshape(h2.shape[:-1] + (act.shape[-1],))
     else:
         up = qlin(h2, sl["up"])
         gate = qlin(h2, sl["gate"])
-    act = jax.nn.silu(gate) * up
+        act = jax.nn.silu(gate) * up
     if "down_tp" in sl:
         act = kron_transform_perm(act, sl["down_tp"])
     elif "down_t" in sl:
@@ -275,7 +278,7 @@ def serving_layer_int4cache(
         untranspose_kv,
     )
     from flatquant_tpu.serving.quantized import (
-        _quant_linear, kron_transform, kron_transform_perm)
+        _quant_linear, _quant_swiglu, kron_transform, kron_transform_perm)
 
     B, S, H = x.shape
     nh, nkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
@@ -419,12 +422,14 @@ def serving_layer_int4cache(
     elif "ug_t" in sl:
         h2 = kron_transform(h2, sl["ug_t"])
     if "upgate" in sl:
-        ug = qlin(h2, sl["upgate"])
-        up, gate = jnp.split(ug, 2, axis=-1)
+        act = _quant_swiglu(h2.reshape(-1, h2.shape[-1]), sl["upgate"],
+                            use_kernel, compute_dtype,
+                            fq_cfg.a_cfg.enabled, fq_cfg.a_cfg.q_max)
+        act = act.reshape(h2.shape[:-1] + (act.shape[-1],))
     else:
         up = qlin(h2, sl["up"])
         gate = qlin(h2, sl["gate"])
-    act = jax.nn.silu(gate) * up
+        act = jax.nn.silu(gate) * up
     if "down_tp" in sl:
         act = kron_transform_perm(act, sl["down_tp"])
     elif "down_t" in sl:

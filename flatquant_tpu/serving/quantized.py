@@ -30,7 +30,9 @@ import jax.numpy as jnp
 from flatquant_tpu.core.transforms import decompose_matrices, single_matrix
 from flatquant_tpu.kernels.int4_matmul import (
     pack_weight_planar,
+    quant_acts_i8,
     w4a4_matmul_i8,
+    w4a4_matmul_i8_swiglu,
     w4a8_matmul,
     w4a8_matmul_ref,
 )
@@ -257,6 +259,12 @@ def _perm_in_channels(w, ln: int, rn: int):
     return w.reshape(out, -1, ln, rn).swapaxes(2, 3).reshape(out, ind)
 
 
+# minimum input width for routing per-token act quant through the Pallas
+# quant_acts_i8 kernel at prefill shapes; None = always use the XLA chain
+# (see the measurement note inside _quant_linear)
+PALLAS_QUANT_MIN_K: Optional[int] = 8192
+
+
 def _quant_linear(x2d, lin, use_kernel: bool, out_dtype=jnp.bfloat16,
                   quant_acts: bool = True, a_q_max: int = 7):
     """Per-token quant + quantized-weight matmul. x2d: [T, K] fp.
@@ -289,10 +297,29 @@ def _quant_linear(x2d, lin, use_kernel: bool, out_dtype=jnp.bfloat16,
             return w4a8_matmul(x2d.astype(jnp.bfloat16), ones, lin["wp"],
                                lin["scale"], out_dtype)
         return w4a8_matmul_ref(x2d, ones, lin["wp"], lin["scale"], out_dtype)
+    clip = lin.get("a_clip")
+    if (use_kernel and PALLAS_QUANT_MIN_K is not None
+            and x2d.shape[0] >= 256 and x2d.shape[1] >= PALLAS_QUANT_MIN_K
+            and x2d.shape[1] % 128 == 0):
+        # single-HBM-pass Pallas quant (quant_acts_i8). Device story:
+        # standalone it beats the 3-pass XLA chain 1.33x at both 4096 and
+        # 11008 (tools/glue_compare.py), and wins 1.11x when the producer
+        # is a kron transform — but inside the full layer XLA fuses the
+        # silu*up producer INTO the quant chain, and cutting that fusion
+        # measured prefill 1.48x -> 1.17x e2e (bench.py). Disabled by
+        # default; re-evaluated whenever the producer becomes a Pallas op
+        # (e.g. the swiglu-fused GEMM) via this knob.
+        xq_i8, xs = quant_acts_i8(x2d, clip=clip, q_max=a_q_max)
+        if w8 is not None:
+            acc = jax.lax.dot_general(
+                xq_i8, w8, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            out = acc.astype(jnp.float32) * xs * lin["scale"].reshape(1, -1)
+            return out.astype(out_dtype)
+        return w4a4_matmul_i8(xq_i8, xs, lin["wp"], lin["scale"], out_dtype)
     xf = x2d.astype(jnp.float32)
     xmax = jnp.maximum(jnp.max(xf, axis=-1, keepdims=True), 0.0)
     xmin = jnp.minimum(jnp.min(xf, axis=-1, keepdims=True), 0.0)
-    clip = lin.get("a_clip")
     if clip is not None:
         rmax, rmin = clip
         xmax = xmax * rmax
@@ -316,6 +343,43 @@ def _quant_linear(x2d, lin, use_kernel: bool, out_dtype=jnp.bfloat16,
         )
     mm = w4a8_matmul if use_kernel else w4a8_matmul_ref
     return mm(xq.astype(jnp.bfloat16), xs, lin["wp"], lin["scale"], out_dtype)
+
+
+def _quant_swiglu(x2d, lin, use_kernel: bool, out_dtype=jnp.bfloat16,
+                  quant_acts: bool = True, a_q_max: int = 7):
+    """silu(gate) * up for a merged up||gate projection (rows [0, N/2) =
+    up, [N/2, N) = gate, the build_serving_params merge order).
+
+    Prefill kernel path: one int8-MXU GEMM with the SwiGLU fused into the
+    epilogue (w4a4_matmul_i8_swiglu) — never materializes the [T, N]
+    intermediate (~180 MB of HBM traffic per llama-2-7b layer at S=2048).
+    All other paths (decode, CPU, W8A8, weight-only) compose the plain
+    quantized matmul with an eager silu — numerically the fused epilogue
+    evaluates silu in f32 before the out_dtype cast, a strict precision
+    improvement over silu-on-bf16."""
+    if (use_kernel and quant_acts and "wp" in lin and x2d.shape[0] >= 256
+            and a_q_max == 7):
+        clip = lin.get("a_clip")
+        if (PALLAS_QUANT_MIN_K is not None
+                and x2d.shape[1] >= PALLAS_QUANT_MIN_K
+                and x2d.shape[1] % 128 == 0):
+            xq_i8, xs = quant_acts_i8(x2d, clip=clip, q_max=a_q_max)
+        else:
+            xf = x2d.astype(jnp.float32)
+            xmax = jnp.maximum(jnp.max(xf, axis=-1, keepdims=True), 0.0)
+            xmin = jnp.minimum(jnp.min(xf, axis=-1, keepdims=True), 0.0)
+            if clip is not None:
+                xmax = xmax * clip[0]
+                xmin = xmin * clip[1]
+            absmax = jnp.maximum(jnp.abs(xmin), xmax)
+            xs = jnp.where(absmax == 0, 1.0, absmax / a_q_max)
+            xq_i8 = jnp.clip(jnp.round(xf / xs), -a_q_max - 1,
+                             a_q_max).astype(jnp.int8)
+        return w4a4_matmul_i8_swiglu(xq_i8, xs, lin["wp"], lin["scale"],
+                                     out_dtype)
+    y = _quant_linear(x2d, lin, use_kernel, out_dtype, quant_acts, a_q_max)
+    up, gate = jnp.split(y, 2, axis=-1)
+    return jax.nn.silu(gate) * up
 
 
 def quantize_kv_asym(t, clip=None, q_max: int = 15):

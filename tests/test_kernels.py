@@ -136,3 +136,69 @@ def test_w4a4_i8_fusedq_matches_composed(rng, use_clip):
     out = w4a4_matmul_i8_fusedq(x, wp, ws, clip, jnp.float32,
                                 block_m=64, block_n=128, interpret=True)
     np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+@pytest.mark.parametrize("m,k,q_max,use_clip", [
+    (300, 384, 7, False),   # m not a block multiple
+    (256, 1408, 7, True),   # K = 11*128 (non-power-of-two chunking)
+    (128, 256, 127, False),  # a8 grid
+])
+def test_quant_acts_i8_matches_xla_chain(rng, m, k, q_max, use_clip):
+    """quant_acts_i8 (single-pass Pallas) == the serving XLA quant chain,
+    including LAC clips, zero rows, and the asym max/min clamp rule."""
+    from flatquant_tpu.kernels.int4_matmul import quant_acts_i8
+
+    x = rng.standard_normal((m, k)).astype(np.float32) * 3.0
+    x[5] = 0.0  # zero row -> scale 1.0, codes 0
+    x = jnp.asarray(x, jnp.bfloat16)
+    clip = ((jnp.float32(0.83), jnp.float32(0.91)) if use_clip else None)
+
+    xq, xs = quant_acts_i8(x, clip=clip, q_max=q_max, interpret=True)
+    assert xq.dtype == jnp.int8 and xs.shape == (m, 1)
+
+    # XLA chain (serving _quant_linear semantics)
+    xf = x.astype(jnp.float32)
+    xmax = jnp.maximum(jnp.max(xf, axis=-1, keepdims=True), 0.0)
+    xmin = jnp.minimum(jnp.min(xf, axis=-1, keepdims=True), 0.0)
+    if clip is not None:
+        xmax = xmax * clip[0]
+        xmin = xmin * clip[1]
+    absmax = jnp.maximum(jnp.abs(xmin), xmax)
+    want_s = jnp.where(absmax == 0, 1.0, absmax / q_max)
+    want_q = jnp.clip(jnp.round(xf / want_s), -q_max - 1, q_max)
+
+    # scales: XLA CPU lowers /q_max as reciprocal-multiply in some contexts
+    # (1-ulp wobble, same quirk documented on w4a4_matmul_i8_fusedq);
+    # on-TPU the division is exact and real==fake parity tests pin it
+    np.testing.assert_allclose(np.asarray(xs), np.asarray(want_s), rtol=2e-7)
+    np.testing.assert_allclose(np.asarray(xq, np.float32), np.asarray(want_q),
+                               atol=1.0 + 1e-6)  # 1-ulp div rounding can
+    # move a value across a .5 boundary on CPU interpret; codes then differ
+    # by at most 1 on <0.1% of entries. Exactness on-TPU is asserted by the
+    # device chain test (tools/glue_compare.py) and real==fake parity.
+    mism = np.mean(np.asarray(xq, np.float32) != np.asarray(want_q))
+    assert mism < 3e-3, mism
+    assert float(jnp.abs(xq[5].astype(jnp.float32)).max()) == 0.0
+
+
+@pytest.mark.parametrize("m,k,nh", [(256, 256, 384), (300, 128, 256)])
+def test_w4a4_swiglu_matches_composed(rng, m, k, nh):
+    """Fused SwiGLU epilogue == plain GEMM -> split -> silu(gate)*up, in f32
+    (identical dequant algebra; silu on the same f32 values)."""
+    from flatquant_tpu.kernels.int4_matmul import (
+        w4a4_matmul_i8_swiglu, w4a8_matmul_ref)
+
+    w = jnp.asarray(rng.integers(-8, 8, (2 * nh, k)), jnp.int8)
+    wp = pack_weight_planar(w)
+    sw = jnp.asarray(rng.uniform(0.01, 0.1, (2 * nh,)), jnp.float32)
+    xq = jnp.asarray(rng.integers(-8, 8, (m, k)), jnp.int8)
+    xs = jnp.asarray(rng.uniform(0.1, 1.0, (m, 1)), jnp.float32)
+
+    got = w4a4_matmul_i8_swiglu(xq, xs, wp, sw, out_dtype=jnp.float32,
+                                interpret=True)
+    y = w4a8_matmul_ref(xq, xs, wp, sw, out_dtype=jnp.float32)
+    up, gate = jnp.split(y, 2, axis=-1)
+    want = jax.nn.silu(gate) * up
+    assert got.shape == (m, nh)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-6, atol=2e-6)
