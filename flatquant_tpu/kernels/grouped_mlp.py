@@ -134,6 +134,87 @@ def w4a4_swiglu_grouped(
     )(x_q, w_packed, w_packed, sx, sw, sw, right.astype(jnp.bfloat16))
 
 
+def _quant_i8_grouped_left_kernel(lt_ref, x_ref, clip_ref, q_ref, s_ref, *,
+                                  q_max):
+    """Left-factor contraction + per-token quant in one pass.
+
+    The [G, bt, 128] block holds every group, so z = L^T @ Y is one MXU
+    dot over the leading dim after an in-VMEM collapse to [G, bt*128] —
+    the HBM round-trip (and the XLA-side 3D<->2D relayout copy, ~230
+    us/layer device-traced) never happens."""
+    g, bt, lw = x_ref.shape
+    x2 = x_ref[:].reshape(g, bt * lw)
+    z2 = jax.lax.dot_general(
+        lt_ref[:], x2, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(jnp.bfloat16)  # same numerics as jnp.matmul(left.T, .) bf16
+    xb = z2.reshape(g, bt, lw)
+    zero = jnp.zeros((), xb.dtype)
+    xmax = jnp.max(jnp.maximum(xb, zero), axis=(0, 2)).astype(jnp.float32)
+    xmin = jnp.min(jnp.minimum(xb, zero), axis=(0, 2)).astype(jnp.float32)
+    xmax = (xmax * clip_ref[0, 0])[:, None]  # [bt, 1]
+    xmin = (xmin * clip_ref[0, 1])[:, None]
+    absmax = jnp.maximum(jnp.abs(xmin), xmax)
+    xs = jnp.where(absmax == 0, 1.0, absmax / q_max)
+    s_ref[:] = xs
+    q_ref[:] = jnp.clip(
+        jnp.round(xb.astype(jnp.float32) / xs[None, :, :]), -q_max - 1, q_max
+    ).astype(jnp.int8)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("q_max", "block_t", "interpret")
+)
+def left_quant_i8_grouped(left_t, x, clip=None, q_max: int = 7,
+                          block_t: int = 64, interpret: bool = False):
+    """(codes, scales) = quant_per_token(left_t @ x) on the grouped layout.
+
+    left_t [G, G]: the TRANSPOSED left Kronecker factor (pass left.T);
+    x [G, T, 128] bf16. Fuses kron's left contraction into the quant pass.
+    """
+    g, t, lw = x.shape
+    assert lw == 128 and left_t.shape == (g, g)
+    bt = min(block_t, t)
+    while g * bt * 128 * (4 * jnp.dtype(x.dtype).itemsize + 2 + 8) > 10 * 2**20 \
+            and bt > 8:
+        bt //= 2
+    if clip is None:
+        clip_arr = jnp.ones((1, 2), jnp.float32)
+    else:
+        clip_arr = jnp.stack(
+            [clip[0].reshape(()), clip[1].reshape(())]
+        ).reshape(1, 2).astype(jnp.float32)
+
+    return pl.pallas_call(
+        functools.partial(_quant_i8_grouped_left_kernel, q_max=q_max),
+        out_shape=(
+            jax.ShapeDtypeStruct((g, t, 128), jnp.int8),
+            jax.ShapeDtypeStruct((t, 1), jnp.float32),
+        ),
+        grid_spec=pl.GridSpec(
+            grid=(pl.cdiv(t, bt),),
+            in_specs=[
+                pl.BlockSpec((g, g), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((g, bt, 128), lambda i: (0, i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec((g, bt, 128), lambda i: (0, i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((bt, 1), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * g * g * t * 128 + 4 * g * t * 128,
+            bytes_accessed=g * t * 128 * (jnp.dtype(x.dtype).itemsize + 1),
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(left_t.astype(jnp.bfloat16), x, clip_arr)
+
+
 def _quant_i8_grouped_kernel(x_ref, clip_ref, q_ref, s_ref, *, q_max):
     xb = x_ref[:]  # bf16 [G, bt, 128]
     zero = jnp.zeros((), xb.dtype)
@@ -201,32 +282,21 @@ def quant_acts_i8_grouped(x, clip=None, q_max: int = 7, block_t: int = 64,
 
 
 def _w4a4_grouped_gemm_kernel(x_ref, wp_ref, sx_ref, sw_ref, o_ref, *,
-                              half_groups, out_dtype):
-    bm = x_ref.shape[1]
-    bn = wp_ref.shape[0]
-
-    def body(b, carry):
-        acc, rowsum = carry
-        wp = wp_ref[:, pl.ds(b * 128, 128)].astype(jnp.int32)
-        lo = (wp & 0xF).astype(jnp.int8)   # [bn, 128] = column group b
-        hi = (wp >> 4).astype(jnp.int8)    # group b + half_groups
-        x_lo = x_ref[b]
-        x_hi = x_ref[b + half_groups]
-        acc = acc + jax.lax.dot_general(
-            x_lo, lo, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.int32)
-        acc = acc + jax.lax.dot_general(
-            x_hi, hi, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.int32)
-        rowsum = rowsum + jnp.sum(x_lo.astype(jnp.int32), axis=1,
-                                  keepdims=True)
-        rowsum = rowsum + jnp.sum(x_hi.astype(jnp.int32), axis=1,
-                                  keepdims=True)
-        return acc, rowsum
-
-    acc0 = jnp.zeros((bm, bn), jnp.int32)
-    rs0 = jnp.zeros((bm, 1), jnp.int32)
-    acc, rowsum = jax.lax.fori_loop(0, half_groups, body, (acc0, rs0))
+                              n_groups, out_dtype):
+    # Reassemble the flat [bm, K] activation view by placing the G tile
+    # planes side-by-side on the LANE axis — a pure tile-placement concat
+    # (no cross-lane data movement within a tile; same primitive as the
+    # planar nibble unpack below), then run ONE K-deep MXU dot. A first
+    # version looped G times with K=128 dots instead and ran 3.7x slower
+    # than the flat GEMM (MXU starved by tiny contractions); this form
+    # matches _w4a4_i8_kernel's schedule exactly.
+    xflat = jnp.concatenate([x_ref[g] for g in range(n_groups)], axis=1)
+    wp = wp_ref[:].astype(jnp.int32)
+    nib = jnp.concatenate([wp & 0xF, wp >> 4], axis=1).astype(jnp.int8)
+    acc = jax.lax.dot_general(
+        xflat, nib, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    rowsum = jnp.sum(xflat.astype(jnp.int32), axis=1, keepdims=True)
     out = (acc - 8 * rowsum).astype(jnp.float32) * sx_ref[:] * sw_ref[:]
     o_ref[:] = out.astype(out_dtype)
 
@@ -247,20 +317,20 @@ def w4a4_matmul_i8_grouped(
     """y[M, N] = dequant( flatten(x_q) @ unpack(w_packed)^T ) where x_q is
     the grouped layout [G, M, 128] (flatten: column g*128+j = x_q[g, :, j]).
 
-    G must be even: the planar pack's byte block b covers groups b (low
-    nibbles) and b + G/2 (high nibbles). Bit-identical integer math to
-    w4a4_matmul_i8 on the flattened layout.
+    Bit-identical integer math to w4a4_matmul_i8 on the flattened layout
+    (the kernel reassembles the flat lane order with a tile-placement
+    concat, then runs the same single K-deep dot).
     """
     g, m, lw = x_q.shape
     k = g * 128
     n = w_packed.shape[0]
-    assert lw == 128 and g % 2 == 0
+    assert lw == 128
     assert w_packed.shape[1] * 2 == k and x_q.dtype == jnp.int8
     bm = min(block_m, m)
     bn = min(block_n, n)
-    # VMEM: grouped x block (g*bm*128 i8, dbuf) + wp (bn*k/2, dbuf) +
-    # per-iter unpack (~6*bn*128) + acc/out
-    while (2 * g * bm * 128 + 2 * bn * k // 2 + 6 * bn * 128
+    # VMEM: grouped x block (dbuf) + flat concat copy + wp (dbuf) +
+    # unpacked nibbles + acc/out
+    while (2 * g * bm * 128 + bm * k + 2 * bn * k // 2 + bn * k
            + 10 * bm * bn > 11 * 2**20 and max(bm, bn) > 128):
         if bm >= bn:
             bm //= 2
@@ -270,7 +340,7 @@ def w4a4_matmul_i8_grouped(
     sx = x_scale.reshape(m, 1).astype(jnp.float32)
 
     return pl.pallas_call(
-        functools.partial(_w4a4_grouped_gemm_kernel, half_groups=g // 2,
+        functools.partial(_w4a4_grouped_gemm_kernel, n_groups=g,
                           out_dtype=out_dtype),
         out_shape=jax.ShapeDtypeStruct((m, n), out_dtype),
         grid_spec=pl.GridSpec(

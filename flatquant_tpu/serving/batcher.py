@@ -30,6 +30,31 @@ from flatquant_tpu.quantize.spec import FQConfig
 from flatquant_tpu.serving.engine import _forward, init_cache
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=32)
+def _batcher_programs(cfg, fq_cfg, use_kernel, max_len, compute_dtype):
+    """Jitted (prefill_one, decode_multi, chunk_one) for a batcher config."""
+
+    @jax.jit
+    def prefill_one(sp, tokens, cache1, last_idx):
+        return _forward(cfg, fq_cfg, sp, tokens, cache1, 0, "prefill",
+                        use_kernel, max_len, compute_dtype, last_idx=last_idx)
+
+    @jax.jit
+    def decode_multi(sp, toks, cache, pos_vec):
+        return _forward(cfg, fq_cfg, sp, toks, cache, pos_vec, "decode",
+                        use_kernel, max_len, compute_dtype)
+
+    @jax.jit
+    def chunk_one(sp, tokens, cache1, pos, last_idx):
+        return _forward(cfg, fq_cfg, sp, tokens, cache1, pos, "chunk",
+                        use_kernel, max_len, compute_dtype, last_idx=last_idx)
+
+    return prefill_one, decode_multi, chunk_one
+
+
 @dataclasses.dataclass
 class Request:
     rid: int
@@ -105,26 +130,13 @@ class ContinuousBatcher:
         self.finished: Dict[int, List[int]] = {}
         self._rid = 0
 
-        cdt = compute_dtype
-
-        @jax.jit
-        def prefill_one(sp, tokens, cache1, last_idx):
-            return _forward(cfg, fq_cfg, sp, tokens, cache1, 0, "prefill",
-                            use_kernel, max_len, cdt, last_idx=last_idx)
-
-        @jax.jit
-        def decode_multi(sp, toks, cache, pos_vec):
-            return _forward(cfg, fq_cfg, sp, toks, cache, pos_vec, "decode",
-                            use_kernel, max_len, cdt)
-
-        @jax.jit
-        def chunk_one(sp, tokens, cache1, pos, last_idx):
-            return _forward(cfg, fq_cfg, sp, tokens, cache1, pos, "chunk",
-                            use_kernel, max_len, cdt, last_idx=last_idx)
-
-        self._prefill_one = prefill_one
-        self._decode_multi = decode_multi
-        self._chunk_one = chunk_one
+        # module-level program cache: configs are frozen dataclasses, so
+        # two batcher instances with the same (cfg, fq_cfg, flags) share
+        # the SAME jit wrappers — a fresh instance (restart, benchmark
+        # scenario, new tenant) costs zero re-traces (~0.6 s/program
+        # otherwise, paid mid-serving)
+        self._prefill_one, self._decode_multi, self._chunk_one = \
+            _batcher_programs(cfg, fq_cfg, use_kernel, max_len, compute_dtype)
 
     # -- public API ---------------------------------------------------------
 

@@ -33,6 +33,7 @@ from flatquant_tpu.models.llama import rms_norm, rope_tables
 from flatquant_tpu.quantize.spec import FQConfig
 from flatquant_tpu.serving.quantized import (
     _quant_linear,
+    _quant_mlp_grouped,
     _quant_swiglu,
     dequantize_kv,
     kron_transform,
@@ -242,6 +243,20 @@ def serving_layer(
         h2 = kron_transform_perm(h2, sl["ug_tp"])
     elif "ug_t" in sl:
         h2 = kron_transform(h2, sl["ug_t"])
+    y_mlp = (_quant_mlp_grouped(h2.reshape(-1, h2.shape[-1]), sl,
+                                compute_dtype, fq_cfg.a_cfg.q_max)
+             if (use_kernel and fq_cfg.a_cfg.enabled) else None)
+    if y_mlp is not None:
+        # relayout-free grouped pipeline (see quantized._quant_mlp_grouped)
+        x = x + y_mlp.reshape(h2.shape[:-1] + (y_mlp.shape[-1],))
+        return x, ck, cv
+    y_mlp = (_quant_mlp_grouped(h2.reshape(-1, h2.shape[-1]), sl,
+                                compute_dtype, fq_cfg.a_cfg.q_max)
+             if (use_kernel and fq_cfg.a_cfg.enabled) else None)
+    if y_mlp is not None:
+        # relayout-free grouped pipeline (see quantized._quant_mlp_grouped)
+        x = x + y_mlp.reshape(h2.shape[:-1] + (y_mlp.shape[-1],))
+        return x, kp, kparam, vp, vparam
     if "upgate" in sl:
         act = _quant_swiglu(h2.reshape(-1, h2.shape[-1]), sl["upgate"],
                             use_kernel, compute_dtype,
@@ -278,7 +293,8 @@ def serving_layer_int4cache(
         untranspose_kv,
     )
     from flatquant_tpu.serving.quantized import (
-        _quant_linear, _quant_swiglu, kron_transform, kron_transform_perm)
+        _quant_linear, _quant_mlp_grouped, _quant_swiglu, kron_transform,
+        kron_transform_perm)
 
     B, S, H = x.shape
     nh, nkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim

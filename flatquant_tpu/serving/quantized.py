@@ -382,6 +382,55 @@ def _quant_swiglu(x2d, lin, use_kernel: bool, out_dtype=jnp.bfloat16,
     return jax.nn.silu(gate) * up
 
 
+def _act_codes_i8(x2d, clip, a_q_max: int):
+    """XLA per-token quant chain -> (int8 codes, f32 scales)."""
+    xf = x2d.astype(jnp.float32)
+    xmax = jnp.maximum(jnp.max(xf, axis=-1, keepdims=True), 0.0)
+    xmin = jnp.minimum(jnp.min(xf, axis=-1, keepdims=True), 0.0)
+    if clip is not None:
+        xmax = xmax * clip[0]
+        xmin = xmin * clip[1]
+    absmax = jnp.maximum(jnp.abs(xmin), xmax)
+    xs = jnp.where(absmax == 0, 1.0, absmax / a_q_max)
+    xq = jnp.clip(jnp.round(xf / xs), -a_q_max - 1, a_q_max).astype(jnp.int8)
+    return xq, xs
+
+
+def _quant_mlp_grouped(x2d, sl, out_dtype=jnp.bfloat16, a_q_max: int = 7):
+    """Relayout-free MLP tail: upgate GEMM + silu + Kronecker right factor
+    in one kernel (grouped [G, T, 128] output), left factor as a clean 2D
+    matmul, grouped quant, grouped down GEMM (kernels/grouped_mlp.py).
+    Device rationale: the standard layout pays ~250 us/layer of XLA
+    batched-matmul relayout copies around the down-kron left contraction.
+
+    x2d: post-ln2/ug-transform hidden [T, K]. Returns the down output
+    [T, K], or None when the shape/config doesn't qualify (caller then
+    composes the standard path)."""
+    if not ("upgate" in sl and "down" in sl and "down_t" in sl
+            and "wp" in sl["upgate"] and "wp" in sl["down"]
+            and x2d.shape[0] >= 256 and a_q_max == 7):
+        return None
+    left, right = sl["down_t"]
+    g_n = left.shape[0]
+    if right.shape[0] != 128:
+        return None
+    from flatquant_tpu.kernels.grouped_mlp import (
+        left_quant_i8_grouped,
+        w4a4_matmul_i8_grouped,
+        w4a4_swiglu_grouped,
+    )
+
+    xq, xs = _act_codes_i8(x2d, sl["upgate"].get("a_clip"), a_q_max)
+    ug = sl["upgate"]
+    yg = w4a4_swiglu_grouped(xq, xs, ug["wp"], ug["scale"], right)
+    # left contraction fused into the quant kernel: an XLA-side 2D matmul
+    # here pays a 3D<->2D relayout copy on one side (~230 us/layer traced)
+    dn = sl["down"]
+    zq, zs = left_quant_i8_grouped(left.T, yg, clip=dn.get("a_clip"),
+                                   q_max=a_q_max)
+    return w4a4_matmul_i8_grouped(zq, zs, dn["wp"], dn["scale"], out_dtype)
+
+
 def quantize_kv_asym(t, clip=None, q_max: int = 15):
     """Asym int4 per (token, head) over head_dim -> (codes u8-packed? no:
     biased bf16 codes, scale, zero). Used by both cache modes; packing

@@ -143,3 +143,23 @@ def test_grouped_pipeline_end_to_end(rng):
         jnp.asarray(s_d)))) * k
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=5e-2, atol=0.05 * scale_bound)
+
+
+def test_left_quant_grouped_matches_two_step(rng):
+    """left_quant_i8_grouped (fused left contraction + quant) == the
+    two-step matmul -> quant_acts_i8_grouped pipeline."""
+    from flatquant_tpu.core.orth import random_orthogonal
+    from flatquant_tpu.kernels.grouped_mlp import left_quant_i8_grouped
+
+    G, t = 6, 96
+    x = jnp.asarray(rng.standard_normal((G, t, 128)) * 1.5, jnp.bfloat16)
+    left = jnp.asarray(random_orthogonal(G, rng), jnp.bfloat16)
+
+    z = jnp.matmul(left.T, x.reshape(G, -1)).reshape(G, t, 128)
+    want_q, want_s = quant_acts_i8_grouped(z, q_max=7, interpret=True)
+    got_q, got_s = left_quant_i8_grouped(left.T, x, q_max=7, interpret=True)
+
+    np.testing.assert_allclose(np.asarray(got_s), np.asarray(want_s),
+                               rtol=2e-7)
+    mism = np.mean(np.asarray(got_q) != np.asarray(want_q))
+    assert mism < 3e-3, mism
