@@ -13,11 +13,23 @@ import math
 import jax.numpy as jnp
 
 
-def get_decompose_dim(n: int):
+def get_decompose_dim(n: int, rn128: bool = False):
     """Most-square factorization (a-b, a+b) with (a-b)(a+b) = n.
 
     Examples: 4096 -> (64, 64), 11008 -> (86, 128), 14336 -> (112, 128).
+
+    rn128=True (TPU-native mode): return (n/128, 128) whenever n is a
+    multiple of 128, falling back to the balanced split otherwise. A
+    128-lane right factor lets the serving engine run the transform
+    through the grouped [G, T, 128] pipeline (kernels/grouped_mlp.py) —
+    one VREG-aligned lane-group per Kronecker block, no relayout copies.
+    Slightly more transform parameters (G^2 + 128^2 vs two balanced
+    squares) — same orthogonal-by-construction family, so calibration
+    quality is comparable; the decomposition must match between
+    calibration and serving (it is baked into the transform shapes).
     """
+    if rn128 and n % 128 == 0 and n // 128 >= 2:
+        return n // 128, 128
     a = int(math.isqrt(n))
     if a * a < n:
         a += 1

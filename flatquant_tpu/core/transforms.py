@@ -240,8 +240,9 @@ def init_decompose(
     add_diag: bool = False,
     direct_inv: bool = False,
     diag_init: Optional[np.ndarray] = None,
+    rn128: bool = False,
 ) -> DecomposeTransform:
-    ln, rn = get_decompose_dim(size)
+    ln, rn = get_decompose_dim(size, rn128=rn128)
     mk = init_inv_factor if direct_inv else init_svd_factor
     diag = None
     if add_diag:

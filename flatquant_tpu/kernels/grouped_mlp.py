@@ -379,3 +379,155 @@ def ungroup_layout(xg):
     """[G, T, 128] -> [T, G*128] (test/reference helper)."""
     g, t, _ = xg.shape
     return xg.transpose(1, 0, 2).reshape(t, g * 128)
+
+
+def _rmsnorm_right_grouped_kernel(x_ref, w_ref, r_ref, o_ref, *, eps, gb):
+    xf = x_ref[:].astype(jnp.float32)  # [bt, H]
+    var = jnp.mean(xf * xf, axis=1, keepdims=True)
+    xn = ((xf * jax.lax.rsqrt(var + eps))
+          * w_ref[:].astype(jnp.float32)).astype(jnp.bfloat16)
+    r = r_ref[:]  # [128, 128] bf16
+    for g in range(gb):
+        seg = xn[:, g * 128:(g + 1) * 128]
+        o_ref[g] = jax.lax.dot_general(
+            seg, r, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("eps", "block_t", "interpret")
+)
+def rmsnorm_right_grouped(x, w, right, eps: float, block_t: int = 256,
+                          interpret: bool = False):
+    """Fused rms_norm + Kronecker right factor, grouped output.
+
+    x [T, H] -> [G, T, 128] bf16 where G = H/128: group g holds
+    (rms_norm(x) * w)[:, g*128:(g+1)*128] @ right. Same f32 norm math as
+    models.llama.rms_norm; the right dot matches kron_transform's first
+    contraction at bf16. Feeds left_quant_i8_grouped directly — the
+    attention/MLP input transforms never materialize the flat layout."""
+    t, h = x.shape
+    g = h // 128
+    assert h % 128 == 0 and right.shape == (128, 128)
+    bt = min(block_t, t)
+    while bt * h * 14 > 10 * 2**20 and bt > 8:
+        bt //= 2
+    return pl.pallas_call(
+        functools.partial(_rmsnorm_right_grouped_kernel, eps=eps, gb=g),
+        out_shape=jax.ShapeDtypeStruct((g, t, 128), jnp.bfloat16),
+        grid_spec=pl.GridSpec(
+            grid=(pl.cdiv(t, bt),),
+            in_specs=[
+                pl.BlockSpec((bt, h), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, h), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((128, 128), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((g, bt, 128), lambda i: (0, i, 0),
+                                   memory_space=pltpu.VMEM),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * t * h * 128 + 6 * t * h,
+            bytes_accessed=t * h * (jnp.dtype(x.dtype).itemsize + 2),
+            transcendentals=t,
+        ),
+        interpret=interpret,
+    )(x, w.reshape(1, h), right.astype(jnp.bfloat16))
+
+
+def _swiglu_grouped_gx_kernel(x_ref, wpu_ref, wpg_ref, sx_ref, swu_ref,
+                              swg_ref, r_ref, o_ref, *, gb, n_groups_in):
+    # grouped-x variant: reassemble the flat activation row from the
+    # [Gin, bm, 128] tile planes (tile-placement concat, as in the
+    # grouped GEMM), then identical math to _swiglu_grouped_kernel
+    xu = jnp.concatenate([x_ref[g] for g in range(n_groups_in)], axis=1)
+    nib_u = jnp.concatenate(
+        [wpu_ref[:].astype(jnp.int32) & 0xF, wpu_ref[:].astype(jnp.int32) >> 4],
+        axis=1).astype(jnp.int8)
+    nib_g = jnp.concatenate(
+        [wpg_ref[:].astype(jnp.int32) & 0xF, wpg_ref[:].astype(jnp.int32) >> 4],
+        axis=1).astype(jnp.int8)
+    acc_u = jax.lax.dot_general(
+        xu, nib_u, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32)
+    acc_g = jax.lax.dot_general(
+        xu, nib_g, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32)
+    rowsum = jnp.sum(xu.astype(jnp.int32), axis=1, keepdims=True)
+    sx = sx_ref[:]
+    u = (acc_u - 8 * rowsum).astype(jnp.float32) * sx * swu_ref[:]
+    g_ = (acc_g - 8 * rowsum).astype(jnp.float32) * sx * swg_ref[:]
+    act = (u * (g_ * jax.nn.sigmoid(g_))).astype(jnp.bfloat16)
+    r = r_ref[:]
+    for gl in range(gb):
+        seg = act[:, gl * 128:(gl + 1) * 128]
+        o_ref[gl] = jax.lax.dot_general(
+            seg, r, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block_m", "block_n", "interpret")
+)
+def w4a4_swiglu_grouped_gx(
+    x_qg,
+    x_scale,
+    w_packed,
+    w_scale,
+    right,
+    block_m: int = 512,
+    block_n: int = 512,
+    interpret: bool = False,
+):
+    """w4a4_swiglu_grouped with GROUPED int8 activations [Gin, M, 128]
+    (the left_quant_i8_grouped output) instead of flat [M, K] — the
+    end-to-end grouped pipeline's upgate stage."""
+    gin, m, lw = x_qg.shape
+    k = gin * 128
+    n2 = w_packed.shape[0]
+    nh = n2 // 2
+    assert lw == 128 and x_qg.dtype == jnp.int8
+    assert w_packed.shape[1] * 2 == k and nh % 128 == 0
+    assert right.shape == (128, 128)
+    bm = min(block_m, m)
+    units = nh // 128
+    d = max(u for u in range(1, min(units, block_n // 128) + 1)
+            if units % u == 0)
+    bn = 128 * d
+    gb = bn // 128
+    while (2 * gin * bm * 128 + bm * k + 2 * (bn * k // 2) + 2 * bn * k
+           + 10 * bm * bn > 11 * 2**20 and bm > 128):
+        bm //= 2
+    gridj = nh // bn
+    sw = w_scale.reshape(1, n2).astype(jnp.float32)
+    sx = x_scale.reshape(m, 1).astype(jnp.float32)
+
+    return pl.pallas_call(
+        functools.partial(_swiglu_grouped_gx_kernel, gb=gb,
+                          n_groups_in=gin),
+        out_shape=jax.ShapeDtypeStruct((nh // 128, m, 128), jnp.bfloat16),
+        grid_spec=pl.GridSpec(
+            grid=(pl.cdiv(m, bm), gridj),
+            in_specs=[
+                pl.BlockSpec((gin, bm, 128), lambda i, j: (0, i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((bn, k // 2), lambda i, j: (j, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((bn, k // 2), lambda i, j, gj=gridj: (j + gj, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((bm, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, bn), lambda i, j, gj=gridj: (0, j + gj),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((128, 128), lambda i, j: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (gb, bm, 128), lambda i, j: (j, i, 0), memory_space=pltpu.VMEM
+            ),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m * n2 * k + 2 * m * nh * 128,
+            bytes_accessed=gin * m * 128 + n2 * k // 2 + m * nh * 2,
+            transcendentals=m * nh,
+        ),
+        interpret=interpret,
+    )(x_qg, w_packed, w_packed, sx, sw, sw, right.astype(jnp.bfloat16))

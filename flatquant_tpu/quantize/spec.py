@@ -59,6 +59,12 @@ class FQConfig:
     weight_quant_enabled: bool = True
     act_quant_enabled: bool = True
 
+    # TPU-native transform decomposition: every Kronecker dim splits as
+    # (n/128, 128) when divisible (core/kron.py get_decompose_dim rn128),
+    # unlocking the grouped serving pipeline for the attention/MLP input
+    # transforms too. Must be set for BOTH calibration and serving.
+    tpu_decompose: bool = False
+
     # gptq
     gptq: bool = False
     gptq_percdamp: float = 0.01

@@ -91,15 +91,17 @@ def init_layer_fq(cfg: LlamaConfig, fq: FQConfig, rng: np.random.Generator,
     if wa_quant:
         assert cfg.intermediate_size % tp == 0 and cfg.num_heads % tp == 0
         ln_trans = init_decompose(
-            cfg.hidden_size, rng, add_diag=fq.add_diag, direct_inv=fq.direct_inv
+            cfg.hidden_size, rng, add_diag=fq.add_diag,
+            direct_inv=fq.direct_inv, rn128=fq.tpu_decompose,
         )
         o_trans = init_single(cfg.num_heads // tp, rng, direct_inv=fq.direct_inv)
         up_gate = init_decompose(
-            cfg.hidden_size, rng, add_diag=fq.add_diag, direct_inv=fq.direct_inv
+            cfg.hidden_size, rng, add_diag=fq.add_diag,
+            direct_inv=fq.direct_inv, rn128=fq.tpu_decompose,
         )
         down = init_decompose(
             cfg.intermediate_size // tp, rng, add_diag=fq.add_diag,
-            direct_inv=fq.direct_inv,
+            direct_inv=fq.direct_inv, rn128=fq.tpu_decompose,
         )
     if fq.k_bits < 16 or fq.q_bits < 16:
         kcache = init_single(cfg.head_dim, rng, direct_inv=fq.direct_inv)

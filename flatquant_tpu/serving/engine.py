@@ -32,8 +32,10 @@ from flatquant_tpu.models.config import LlamaConfig
 from flatquant_tpu.models.llama import rms_norm, rope_tables
 from flatquant_tpu.quantize.spec import FQConfig
 from flatquant_tpu.serving.quantized import (
+    _grouped_attn_in,
     _quant_linear,
     _quant_mlp_grouped,
+    _quant_mlp_grouped_full,
     _quant_swiglu,
     dequantize_kv,
     kron_transform,
@@ -125,18 +127,30 @@ def serving_layer(
         return y
 
     # ---- attention ----
-    h = rms_norm(x, sl["ln1_w"], cfg.rms_eps)
-    if "ln_tp" in sl:  # one-copy transposed-output form (perm weights)
-        h = kron_transform_perm(h, sl["ln_tp"])
-    elif "ln_t" in sl:
-        h = kron_transform(h, sl["ln_t"])
-    if "qkv" in sl:  # merged projection: one quant + one GEMM
-        qkv = qlin(h, sl["qkv"], sl.get("bqkv"))
+    qkv_g = (_grouped_attn_in(x.reshape(-1, H), sl, cfg.rms_eps,
+                              compute_dtype, fq_cfg.a_cfg.q_max)
+             if (use_kernel and fq_cfg.a_cfg.enabled) else None)
+    if qkv_g is not None:
+        # fully-grouped ln + transform + quant + merged-qkv GEMM
+        # (tpu_decompose calibration; quantized._grouped_attn_in)
+        qkv = qkv_g.reshape(B, S, qkv_g.shape[-1])
+        if sl.get("bqkv") is not None:
+            qkv = qkv + sl["bqkv"].astype(qkv.dtype)
         q, k, v = jnp.split(qkv, [cfg.q_dim, cfg.q_dim + cfg.kv_dim], axis=-1)
     else:
-        q = qlin(h, sl["q"], sl.get("bq"))
-        k = qlin(h, sl["k"], sl.get("bk"))
-        v = qlin(h, sl["v"], sl.get("bv"))
+        h = rms_norm(x, sl["ln1_w"], cfg.rms_eps)
+        if "ln_tp" in sl:  # one-copy transposed-output form (perm weights)
+            h = kron_transform_perm(h, sl["ln_tp"])
+        elif "ln_t" in sl:
+            h = kron_transform(h, sl["ln_t"])
+        if "qkv" in sl:  # merged projection: one quant + one GEMM
+            qkv = qlin(h, sl["qkv"], sl.get("bqkv"))
+            q, k, v = jnp.split(qkv, [cfg.q_dim, cfg.q_dim + cfg.kv_dim],
+                                axis=-1)
+        else:
+            q = qlin(h, sl["q"], sl.get("bq"))
+            k = qlin(h, sl["k"], sl.get("bk"))
+            v = qlin(h, sl["v"], sl.get("bv"))
     q = q.reshape(B, S, nh, hd)
     k = k.reshape(B, S, nkv, hd)
     v = v.reshape(B, S, nkv, hd)
@@ -238,6 +252,12 @@ def serving_layer(
     x = x + qlin(attn, sl["o"])
 
     # ---- mlp ----
+    y_full = (_quant_mlp_grouped_full(x.reshape(-1, H), sl, cfg.rms_eps,
+                                      compute_dtype, fq_cfg.a_cfg.q_max)
+              if (use_kernel and fq_cfg.a_cfg.enabled) else None)
+    if y_full is not None:
+        # fully-grouped MLP (tpu_decompose; quantized._quant_mlp_grouped_full)
+        return x + y_full.reshape(x.shape), ck, cv
     h2 = rms_norm(x, sl["ln2_w"], cfg.rms_eps)
     if "ug_tp" in sl:
         h2 = kron_transform_perm(h2, sl["ug_tp"])
@@ -293,7 +313,8 @@ def serving_layer_int4cache(
         untranspose_kv,
     )
     from flatquant_tpu.serving.quantized import (
-        _quant_linear, _quant_mlp_grouped, _quant_swiglu, kron_transform,
+        _grouped_attn_in, _quant_linear, _quant_mlp_grouped,
+        _quant_mlp_grouped_full, _quant_swiglu, kron_transform,
         kron_transform_perm)
 
     B, S, H = x.shape
@@ -308,18 +329,28 @@ def serving_layer_int4cache(
             y = y + bias.astype(y.dtype)
         return y
 
-    h = rms_norm(x, sl["ln1_w"], cfg.rms_eps)
-    if "ln_tp" in sl:  # one-copy transposed-output form (perm weights)
-        h = kron_transform_perm(h, sl["ln_tp"])
-    elif "ln_t" in sl:
-        h = kron_transform(h, sl["ln_t"])
-    if "qkv" in sl:
-        qkv = qlin(h, sl["qkv"], sl.get("bqkv"))
+    qkv_g = (_grouped_attn_in(x.reshape(-1, H), sl, cfg.rms_eps,
+                              compute_dtype, fq_cfg.a_cfg.q_max)
+             if (use_kernel and fq_cfg.a_cfg.enabled) else None)
+    if qkv_g is not None:
+        qkv = qkv_g.reshape(B, S, qkv_g.shape[-1])
+        if sl.get("bqkv") is not None:
+            qkv = qkv + sl["bqkv"].astype(qkv.dtype)
         q, k, v = jnp.split(qkv, [cfg.q_dim, cfg.q_dim + cfg.kv_dim], axis=-1)
     else:
-        q = qlin(h, sl["q"], sl.get("bq"))
-        k = qlin(h, sl["k"], sl.get("bk"))
-        v = qlin(h, sl["v"], sl.get("bv"))
+        h = rms_norm(x, sl["ln1_w"], cfg.rms_eps)
+        if "ln_tp" in sl:  # one-copy transposed-output form (perm weights)
+            h = kron_transform_perm(h, sl["ln_tp"])
+        elif "ln_t" in sl:
+            h = kron_transform(h, sl["ln_t"])
+        if "qkv" in sl:
+            qkv = qlin(h, sl["qkv"], sl.get("bqkv"))
+            q, k, v = jnp.split(qkv, [cfg.q_dim, cfg.q_dim + cfg.kv_dim],
+                                axis=-1)
+        else:
+            q = qlin(h, sl["q"], sl.get("bq"))
+            k = qlin(h, sl["k"], sl.get("bk"))
+            v = qlin(h, sl["v"], sl.get("bv"))
     q = q.reshape(B, S, nh, hd)
     k = k.reshape(B, S, nkv, hd)
     v = v.reshape(B, S, nkv, hd)
@@ -432,6 +463,12 @@ def serving_layer_int4cache(
     attn = attn.reshape(B, S, nh * hd)
     x = x + qlin(attn, sl["o"])
 
+    y_full = (_quant_mlp_grouped_full(x.reshape(-1, H), sl, cfg.rms_eps,
+                                      compute_dtype, fq_cfg.a_cfg.q_max)
+              if (use_kernel and fq_cfg.a_cfg.enabled) else None)
+    if y_full is not None:
+        # fully-grouped MLP (tpu_decompose; quantized._quant_mlp_grouped_full)
+        return x + y_full.reshape(x.shape), kp, kparam, vp, vparam
     h2 = rms_norm(x, sl["ln2_w"], cfg.rms_eps)
     if "ug_tp" in sl:
         h2 = kron_transform_perm(h2, sl["ug_tp"])

@@ -334,15 +334,19 @@ def _quant_linear(x2d, lin, use_kernel: bool, out_dtype=jnp.bfloat16,
             preferred_element_type=jnp.int32)
         out = acc.astype(jnp.float32) * xs * lin["scale"].reshape(1, -1)
         return out.astype(out_dtype)
-    if use_kernel and x2d.shape[0] >= 256:
-        # compute-bound regime (prefill): int8-MXU kernel runs at 2x the
-        # bf16 MXU rate on v5e (359 vs 161 TFLOPs measured) and multiplies
-        # the exact same integers, so the result is bit-identical
+    if use_kernel:
+        # int8-MXU kernel at ALL sizes: 2x the bf16 MXU rate at prefill
+        # (359 vs 161 TFLOPs) AND 12-19% faster at decode shapes — the
+        # integer unpack (no float converts) streams weights at 693 vs
+        # 621 GB/s (M=1 sweep, 2026-08-18). Multiplies the exact same
+        # integers as the bf16-code kernel, so results are bit-identical.
+        # w4a8_matmul (bf16 codes) remains for the weight-only path above,
+        # whose unquantized bf16 activations cannot be int8.
         return w4a4_matmul_i8(
             xq.astype(jnp.int8), xs, lin["wp"], lin["scale"], out_dtype
         )
-    mm = w4a8_matmul if use_kernel else w4a8_matmul_ref
-    return mm(xq.astype(jnp.bfloat16), xs, lin["wp"], lin["scale"], out_dtype)
+    return w4a8_matmul_ref(xq.astype(jnp.bfloat16), xs, lin["wp"],
+                           lin["scale"], out_dtype)
 
 
 def _quant_swiglu(x2d, lin, use_kernel: bool, out_dtype=jnp.bfloat16,
@@ -427,6 +431,70 @@ def _quant_mlp_grouped(x2d, sl, out_dtype=jnp.bfloat16, a_q_max: int = 7):
     # here pays a 3D<->2D relayout copy on one side (~230 us/layer traced)
     dn = sl["down"]
     zq, zs = left_quant_i8_grouped(left.T, yg, clip=dn.get("a_clip"),
+                                   q_max=a_q_max)
+    return w4a4_matmul_i8_grouped(zq, zs, dn["wp"], dn["scale"], out_dtype)
+
+
+def _grouped_ln_quant(x2d, ln_w, pair, clip, eps: float, a_q_max: int):
+    """rms_norm + full Kronecker transform + per-token quant, entirely in
+    the grouped [G, T, 128] layout (requires the transform's right factor
+    to be 128x128 — the --tpu_decompose calibration mode)."""
+    from flatquant_tpu.kernels.grouped_mlp import (
+        left_quant_i8_grouped,
+        rmsnorm_right_grouped,
+    )
+
+    left, right = pair
+    hg = rmsnorm_right_grouped(x2d, ln_w, right, eps)
+    return left_quant_i8_grouped(left.T, hg, clip=clip, q_max=a_q_max)
+
+
+def _grouped_attn_in(x2d, sl, eps: float, out_dtype=jnp.bfloat16,
+                     a_q_max: int = 7):
+    """Grouped attention input path: ln1 + ln-transform + quant + merged
+    qkv GEMM without ever materializing the flat transformed layout.
+    Returns qkv [T, q_dim + 2*kv_dim] or None when the config doesn't
+    qualify (caller composes the standard path)."""
+    if not ("qkv" in sl and "ln_t" in sl and "wp" in sl["qkv"]
+            and x2d.shape[0] >= 256 and a_q_max == 7):
+        return None
+    left, right = sl["ln_t"]
+    if right.shape[0] != 128:
+        return None
+    from flatquant_tpu.kernels.grouped_mlp import w4a4_matmul_i8_grouped
+
+    xq_g, xs = _grouped_ln_quant(x2d, sl["ln1_w"], sl["ln_t"],
+                                 sl["qkv"].get("a_clip"), eps, a_q_max)
+    return w4a4_matmul_i8_grouped(xq_g, xs, sl["qkv"]["wp"],
+                                  sl["qkv"]["scale"], out_dtype)
+
+
+def _quant_mlp_grouped_full(x2d, sl, eps: float, out_dtype=jnp.bfloat16,
+                            a_q_max: int = 7):
+    """End-to-end grouped MLP: ln2 + ug-transform + quant + swiglu upgate
+    GEMM (+ down right factor) + left+quant + down GEMM — zero flat-layout
+    materializations. Requires --tpu_decompose (both transforms' right
+    factors 128x128). Returns the down output [T, H] or None."""
+    if not ("upgate" in sl and "down" in sl and "down_t" in sl
+            and "ug_t" in sl and "wp" in sl["upgate"] and "wp" in sl["down"]
+            and x2d.shape[0] >= 256 and a_q_max == 7):
+        return None
+    ug_l, ug_r = sl["ug_t"]
+    dn_l, dn_r = sl["down_t"]
+    if ug_r.shape[0] != 128 or dn_r.shape[0] != 128:
+        return None
+    from flatquant_tpu.kernels.grouped_mlp import (
+        left_quant_i8_grouped,
+        w4a4_matmul_i8_grouped,
+        w4a4_swiglu_grouped_gx,
+    )
+
+    ug = sl["upgate"]
+    dn = sl["down"]
+    xq_g, xs = _grouped_ln_quant(x2d, sl["ln2_w"], sl["ug_t"],
+                                 ug.get("a_clip"), eps, a_q_max)
+    yg = w4a4_swiglu_grouped_gx(xq_g, xs, ug["wp"], ug["scale"], dn_r)
+    zq, zs = left_quant_i8_grouped(dn_l.T, yg, clip=dn.get("a_clip"),
                                    q_max=a_q_max)
     return w4a4_matmul_i8_grouped(zq, zs, dn["wp"], dn["scale"], out_dtype)
 

@@ -65,6 +65,10 @@ def parser_gen():
     p.add_argument("--v3_not_last", type=int, default=0, metavar="N",
                    help="DeepSeek: leave the last N MoE layers unquantized "
                         "(main_dpskv3.py:456-459 analog)")
+    p.add_argument("--tpu_decompose", action="store_true",
+                   help="TPU-native (n/128, 128) Kronecker decomposition "
+                        "for every transform dim divisible by 128 — "
+                        "unlocks the grouped serving pipeline end-to-end")
     p.add_argument("--gptq", action="store_true", help="GPTQ instead of RTN")
     p.add_argument("--act_order", action="store_true")
     p.add_argument("--percdamp", type=float, default=0.01)
@@ -133,6 +137,7 @@ def main(argv=None):
         diag_init=args.diag_init, diag_alpha=args.diag_alpha,
         epochs=args.epochs, nsamples=args.nsamples, cali_bsz=args.cali_bsz,
         flat_lr=args.flat_lr, warmup=args.warmup, deactive_amp=args.deactive_amp,
+        tpu_decompose=args.tpu_decompose,
         gptq=args.gptq, gptq_percdamp=args.percdamp, gptq_act_order=args.act_order,
         gptq_mse=args.gptq_mse,
     )

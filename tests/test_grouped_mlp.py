@@ -163,3 +163,98 @@ def test_left_quant_grouped_matches_two_step(rng):
                                rtol=2e-7)
     mism = np.mean(np.asarray(got_q) != np.asarray(want_q))
     assert mism < 3e-3, mism
+
+
+def test_rmsnorm_right_grouped_matches_composed(rng):
+    from flatquant_tpu.core.orth import random_orthogonal
+    from flatquant_tpu.kernels.grouped_mlp import rmsnorm_right_grouped
+    from flatquant_tpu.models.llama import rms_norm
+
+    t, G = 96, 5
+    h = G * 128
+    x = jnp.asarray(rng.standard_normal((t, h)) * 2.0, jnp.bfloat16)
+    w = jnp.asarray(rng.uniform(0.5, 1.5, (h,)), jnp.float32)
+    right = jnp.asarray(random_orthogonal(128, rng), jnp.bfloat16)
+    eps = 1e-5
+
+    got = rmsnorm_right_grouped(x, w, right, eps, interpret=True)
+    assert got.shape == (G, t, 128) and got.dtype == jnp.bfloat16
+
+    xn = rms_norm(x, w, eps)  # bf16, same f32 math
+    want = jnp.matmul(xn.reshape(t, G, 128), right).transpose(1, 0, 2)
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want, np.float32),
+                               rtol=2e-2, atol=2e-2)
+    eq = np.mean(np.asarray(got, np.float32) == np.asarray(want, np.float32))
+    assert eq > 0.95, eq
+
+
+def test_swiglu_grouped_gx_matches_flat_x(rng):
+    """Grouped-x swiglu == flat-x swiglu on the same codes."""
+    from flatquant_tpu.core.orth import random_orthogonal
+    from flatquant_tpu.kernels.grouped_mlp import (
+        group_layout, w4a4_swiglu_grouped_gx)
+
+    m, Gin, G = 128, 2, 4  # k = 256, nh = 512
+    k, nh = Gin * 128, G * 128
+    w = jnp.asarray(rng.integers(-8, 8, (2 * nh, k)), jnp.int8)
+    wp = pack_weight_planar(w)
+    sw = jnp.asarray(rng.uniform(0.01, 0.05, (2 * nh,)), jnp.float32)
+    xq = jnp.asarray(rng.integers(-8, 8, (m, k)), jnp.int8)
+    xs = jnp.asarray(rng.uniform(0.1, 1.0, (m, 1)), jnp.float32)
+    right = jnp.asarray(random_orthogonal(128, rng), jnp.bfloat16)
+
+    want = w4a4_swiglu_grouped(xq, xs, wp, sw, right, interpret=True)
+    got = w4a4_swiglu_grouped_gx(group_layout(xq, Gin), xs, wp, sw, right,
+                                 interpret=True)
+    np.testing.assert_array_equal(np.asarray(got, np.float32),
+                                  np.asarray(want, np.float32))
+
+
+def test_get_decompose_dim_rn128():
+    from flatquant_tpu.core.kron import get_decompose_dim
+
+    assert get_decompose_dim(4096, rn128=True) == (32, 128)
+    assert get_decompose_dim(11008, rn128=True) == (86, 128)
+    assert get_decompose_dim(256, rn128=True) == (2, 128)
+    # not divisible -> balanced fallback
+    assert get_decompose_dim(4092, rn128=True) == get_decompose_dim(4092)
+    # 128 itself stays balanced (a 1x128 kron is pointless)
+    assert get_decompose_dim(128, rn128=True) == get_decompose_dim(128)
+    assert get_decompose_dim(4096) == (64, 64)
+
+
+def test_tpu_decompose_end_to_end_cpu(rng):
+    """Calibrate-mode forward, bake, serving params and fake==real parity
+    all work with the rn128 decomposition (CPU fallback path; the grouped
+    kernels themselves are covered by interpret tests + device parity)."""
+    import dataclasses
+
+    from flatquant_tpu.models.config import get_config
+    from flatquant_tpu.models.llama import init_params, llama_forward
+    from flatquant_tpu.quantize.bake import bake_model
+    from flatquant_tpu.quantize.spec import W4A4KV4
+    from flatquant_tpu.quantize.state import init_model_fq
+    from flatquant_tpu.serving.engine import serving_all_logits
+    from flatquant_tpu.serving.quantized import build_serving_params
+
+    from flatquant_tpu.quantize.bake import rtn_quantize_params
+    from flatquant_tpu.quantize.spec import W4A4
+
+    cfg = get_config("tiny-llama")
+    fq_cfg = dataclasses.replace(W4A4, tpu_decompose=True)  # kv16: fake
+    # and real paths numerically identical (same pairing as test_serving)
+    params = init_params(cfg, seed=0)
+    fq = init_model_fq(cfg, fq_cfg, seed=0)
+    toks = jnp.asarray(rng.integers(0, cfg.vocab_size, (2, 16)), jnp.int32)
+
+    baked, baked_fq = bake_model(cfg, fq_cfg, params, fq)
+    sp = build_serving_params(cfg, fq_cfg, baked, baked_fq,
+                              dtype=jnp.float32)
+    eval_params = rtn_quantize_params(fq_cfg, baked)
+    fake = llama_forward(cfg, eval_params, toks, fq=baked_fq, fq_cfg=fq_cfg,
+                         mode="eval", compute_dtype=jnp.float32)
+    real = serving_all_logits(cfg, fq_cfg, sp, toks,
+                              compute_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(real), np.asarray(fake),
+                               rtol=1e-4, atol=1e-4)
