@@ -281,8 +281,8 @@ def quant_acts_i8_grouped(x, clip=None, q_max: int = 7, block_t: int = 64,
     )(x, clip_arr)
 
 
-def _w4a4_grouped_gemm_kernel(x_ref, wp_ref, sx_ref, sw_ref, o_ref, *,
-                              n_groups, out_dtype):
+def _w4a4_grouped_gemm_kernel(x_ref, wp_ref, sx_ref, sw_ref, o_ref,
+                              xflat_ref, rowsum_ref, *, n_groups, out_dtype):
     # Reassemble the flat [bm, K] activation view by placing the G tile
     # planes side-by-side on the LANE axis — a pure tile-placement concat
     # (no cross-lane data movement within a tile; same primitive as the
@@ -290,14 +290,28 @@ def _w4a4_grouped_gemm_kernel(x_ref, wp_ref, sx_ref, sw_ref, o_ref, *,
     # version looped G times with K=128 dots instead and ran 3.7x slower
     # than the flat GEMM (MXU starved by tiny contractions); this form
     # matches _w4a4_i8_kernel's schedule exactly.
-    xflat = jnp.concatenate([x_ref[g] for g in range(n_groups)], axis=1)
+    #
+    # The concat (and the row sums) are HOISTED into VMEM scratch at the
+    # first N block: the x block's index map ignores j, so the planes are
+    # already resident, but redoing the concat per N block cost ~90 us at
+    # the qkv shape (device-traced 2026-08-18) — TPU grids run
+    # sequentially with j fastest, so scratch written at j == 0 is valid
+    # for the whole row of N blocks.
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        xflat_ref[:] = jnp.concatenate(
+            [x_ref[g] for g in range(n_groups)], axis=1)
+        rowsum_ref[:] = jnp.sum(
+            xflat_ref[:].astype(jnp.int32), axis=1, keepdims=True)
+
+    xflat = xflat_ref[:]
     wp = wp_ref[:].astype(jnp.int32)
     nib = jnp.concatenate([wp & 0xF, wp >> 4], axis=1).astype(jnp.int8)
     acc = jax.lax.dot_general(
         xflat, nib, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.int32)
-    rowsum = jnp.sum(xflat.astype(jnp.int32), axis=1, keepdims=True)
-    out = (acc - 8 * rowsum).astype(jnp.float32) * sx_ref[:] * sw_ref[:]
+    out = ((acc - 8 * rowsum_ref[:]).astype(jnp.float32)
+           * sx_ref[:] * sw_ref[:])
     o_ref[:] = out.astype(out_dtype)
 
 
@@ -343,22 +357,24 @@ def w4a4_matmul_i8_grouped(
         functools.partial(_w4a4_grouped_gemm_kernel, n_groups=g,
                           out_dtype=out_dtype),
         out_shape=jax.ShapeDtypeStruct((m, n), out_dtype),
-        grid_spec=pl.GridSpec(
-            grid=(pl.cdiv(m, bm), pl.cdiv(n, bn)),
-            in_specs=[
-                pl.BlockSpec((g, bm, 128), lambda i, j: (0, i, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((bn, k // 2), lambda i, j: (j, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((bm, 1), lambda i, j: (i, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, bn), lambda i, j: (0, j),
-                             memory_space=pltpu.VMEM),
-            ],
-            out_specs=pl.BlockSpec(
-                (bm, bn), lambda i, j: (i, j), memory_space=pltpu.VMEM
-            ),
+        grid=(pl.cdiv(m, bm), pl.cdiv(n, bn)),
+        in_specs=[
+            pl.BlockSpec((g, bm, 128), lambda i, j: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn, k // 2), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, 1), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (bm, bn), lambda i, j: (i, j), memory_space=pltpu.VMEM
         ),
+        scratch_shapes=[
+            pltpu.VMEM((bm, k), jnp.int8),
+            pltpu.VMEM((bm, 1), jnp.int32),
+        ],
         cost_estimate=pl.CostEstimate(
             flops=2 * m * n * k,
             bytes_accessed=m * k + n * k // 2
@@ -436,11 +452,22 @@ def rmsnorm_right_grouped(x, w, right, eps: float, block_t: int = 256,
 
 
 def _swiglu_grouped_gx_kernel(x_ref, wpu_ref, wpg_ref, sx_ref, swu_ref,
-                              swg_ref, r_ref, o_ref, *, gb, n_groups_in):
+                              swg_ref, r_ref, o_ref, xflat_ref, rowsum_ref,
+                              *, gb, n_groups_in):
     # grouped-x variant: reassemble the flat activation row from the
     # [Gin, bm, 128] tile planes (tile-placement concat, as in the
-    # grouped GEMM), then identical math to _swiglu_grouped_kernel
-    xu = jnp.concatenate([x_ref[g] for g in range(n_groups_in)], axis=1)
+    # grouped GEMM), then identical math to _swiglu_grouped_kernel.
+    # Concat + row sums hoisted to scratch at the first N block (see
+    # _w4a4_grouped_gemm_kernel): redoing them per N block measured
+    # ~60 us/layer at the upgate shape.
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        xflat_ref[:] = jnp.concatenate(
+            [x_ref[g] for g in range(n_groups_in)], axis=1)
+        rowsum_ref[:] = jnp.sum(
+            xflat_ref[:].astype(jnp.int32), axis=1, keepdims=True)
+
+    xu = xflat_ref[:]
     nib_u = jnp.concatenate(
         [wpu_ref[:].astype(jnp.int32) & 0xF, wpu_ref[:].astype(jnp.int32) >> 4],
         axis=1).astype(jnp.int8)
@@ -451,7 +478,7 @@ def _swiglu_grouped_gx_kernel(x_ref, wpu_ref, wpg_ref, sx_ref, swu_ref,
         xu, nib_u, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32)
     acc_g = jax.lax.dot_general(
         xu, nib_g, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32)
-    rowsum = jnp.sum(xu.astype(jnp.int32), axis=1, keepdims=True)
+    rowsum = rowsum_ref[:]
     sx = sx_ref[:]
     u = (acc_u - 8 * rowsum).astype(jnp.float32) * sx * swu_ref[:]
     g_ = (acc_g - 8 * rowsum).astype(jnp.float32) * sx * swg_ref[:]
@@ -504,26 +531,28 @@ def w4a4_swiglu_grouped_gx(
         functools.partial(_swiglu_grouped_gx_kernel, gb=gb,
                           n_groups_in=gin),
         out_shape=jax.ShapeDtypeStruct((nh // 128, m, 128), jnp.bfloat16),
-        grid_spec=pl.GridSpec(
-            grid=(pl.cdiv(m, bm), gridj),
-            in_specs=[
-                pl.BlockSpec((gin, bm, 128), lambda i, j: (0, i, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((bn, k // 2), lambda i, j: (j, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((bn, k // 2), lambda i, j, gj=gridj: (j + gj, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((bm, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, bn), lambda i, j, gj=gridj: (0, j + gj),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((128, 128), lambda i, j: (0, 0),
-                             memory_space=pltpu.VMEM),
-            ],
-            out_specs=pl.BlockSpec(
-                (gb, bm, 128), lambda i, j: (j, i, 0), memory_space=pltpu.VMEM
-            ),
+        grid=(pl.cdiv(m, bm), gridj),
+        in_specs=[
+            pl.BlockSpec((gin, bm, 128), lambda i, j: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn, k // 2), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn, k // 2), lambda i, j, gj=gridj: (j + gj, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda i, j, gj=gridj: (0, j + gj),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((128, 128), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (gb, bm, 128), lambda i, j: (j, i, 0), memory_space=pltpu.VMEM
         ),
+        scratch_shapes=[
+            pltpu.VMEM((bm, k), jnp.int8),
+            pltpu.VMEM((bm, 1), jnp.int32),
+        ],
         cost_estimate=pl.CostEstimate(
             flops=2 * m * n2 * k + 2 * m * nh * 128,
             bytes_accessed=gin * m * 128 + n2 * k // 2 + m * nh * 2,

@@ -36,48 +36,55 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _flash_prefill_kernel(q_ref, k_ref, v_ref, o_ref, *, sm_scale, blk_q,
                           blk_k, hd, n_rep):
-    """Grid: (B, nkv, n_qblk). Blocks:
-    q [1, 1, n_rep, blk_q, hd]; k/v [1, 1, S, hd]; o [1, 1, n_rep, blk_q, hd].
+    """Grid: (B, nkv, n_qblk) over flat row-major views (see wrapper):
+    q/o [1, blk_q, n_rep*hd]; k/v [1, S, hd].
+
+    The n_rep query heads sharing this kv head are processed by a static
+    unroll; K/V stay resident in VMEM across the reps, so GQA still never
+    repeats K/V in HBM. MXU operands stay in the input dtype (bf16 at
+    serving time runs the systolic array at full rate); softmax stats and
+    the accumulator are fp32 via preferred_element_type.
     """
     qi = pl.program_id(2)
-    S = k_ref.shape[2]
-    M = n_rep * blk_q
-    q = q_ref[0, 0].reshape(M, hd).astype(jnp.float32) * sm_scale
-
+    S = k_ref.shape[1]
+    mxu_dt = q_ref.dtype
     q_start = qi * blk_q
-    # row r of the stacked M axis is query position q_start + r % blk_q
-    row_pos = q_start + jax.lax.broadcasted_iota(jnp.int32, (M, 1), 0) % blk_q
-
-    def body(ki, carry):
-        m, l, acc = carry
-        k_start = ki * blk_k
-        kblk = k_ref[0, 0, pl.ds(k_start, blk_k), :].astype(jnp.float32)
-        s = jax.lax.dot_general(
-            q, kblk, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [M, blk_k]
-        col_pos = k_start + jax.lax.broadcasted_iota(jnp.int32, (1, blk_k), 1)
-        s = jnp.where(row_pos >= col_pos, s, -jnp.inf)
-
-        m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
-        p = jnp.exp(s - m_new)
-        corr = jnp.exp(m - m_new)
-        l_new = l * corr + jnp.sum(p, axis=1, keepdims=True)
-        vblk = v_ref[0, 0, pl.ds(k_start, blk_k), :].astype(jnp.float32)
-        acc_new = acc * corr + jax.lax.dot_general(
-            p, vblk, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        return m_new, l_new, acc_new
-
+    row_pos = q_start + jax.lax.broadcasted_iota(jnp.int32, (blk_q, 1), 0)
     # causal: only K blocks whose start <= this q block's last row
     n_kblk = (q_start + blk_q + blk_k - 1) // blk_k
-    m0 = jnp.full((M, 1), -jnp.inf, jnp.float32)
-    l0 = jnp.zeros((M, 1), jnp.float32)
-    acc0 = jnp.zeros((M, hd), jnp.float32)
-    m, l, acc = jax.lax.fori_loop(0, n_kblk, body, (m0, l0, acc0))
-    out = acc / jnp.maximum(l, 1e-30)
-    o_ref[0, 0] = out.reshape(n_rep, blk_q, hd).astype(o_ref.dtype)
+
+    for r in range(n_rep):
+        q = q_ref[0, :, r * hd:(r + 1) * hd]
+
+        def body(ki, carry):
+            m, l, acc = carry
+            k_start = ki * blk_k
+            kblk = k_ref[0, pl.ds(k_start, blk_k), :]
+            s = jax.lax.dot_general(
+                q, kblk, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * sm_scale  # [blk_q, blk_k]; scale in fp32 after the dot
+            col_pos = k_start + jax.lax.broadcasted_iota(
+                jnp.int32, (1, blk_k), 1)
+            s = jnp.where(row_pos >= col_pos, s, -jnp.inf)
+
+            m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
+            p = jnp.exp(s - m_new)
+            corr = jnp.exp(m - m_new)
+            l_new = l * corr + jnp.sum(p, axis=1, keepdims=True)
+            vblk = v_ref[0, pl.ds(k_start, blk_k), :]
+            acc_new = acc * corr + jax.lax.dot_general(
+                p.astype(mxu_dt), vblk, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            return m_new, l_new, acc_new
+
+        m0 = jnp.full((blk_q, 1), -jnp.inf, jnp.float32)
+        l0 = jnp.zeros((blk_q, 1), jnp.float32)
+        acc0 = jnp.zeros((blk_q, hd), jnp.float32)
+        m, l, acc = jax.lax.fori_loop(0, n_kblk, body, (m0, l0, acc0))
+        out = acc / jnp.maximum(l, 1e-30)
+        o_ref[0, :, r * hd:(r + 1) * hd] = out.astype(o_ref.dtype)
 
 
 @functools.partial(
@@ -90,6 +97,14 @@ def flash_prefill_attention(q, k, v, sm_scale: float, blk_q: int = 256,
     q [B, S, nh, hd]; k/v [B, S, nkv, hd] (nh % nkv == 0, GQA shared
     kv heads are NOT repeated). Returns [B, S, nh, hd] in q.dtype.
     S must be a multiple of 128 (serving buckets guarantee this).
+
+    Layout: the kernel reads head columns straight out of row-major
+    [B, S, heads*hd] views (the GEMM/rope-producer layout) via column-block
+    BlockSpecs — the standard GEMM N-block pattern with proper (blk, 128)
+    tiles. The first version pre-transposed q/k/v to head-major
+    [B, nkv, n_rep, S, hd] and paid ~150 us/layer of XLA layout copies on
+    both sides (device trace 2026-08-18: copy.64-67 at 62.5 us each plus
+    the fused output untranspose); this form needs none.
     """
     B, S, nh, hd = q.shape
     nkv = k.shape[2]
@@ -97,31 +112,29 @@ def flash_prefill_attention(q, k, v, sm_scale: float, blk_q: int = 256,
     bq = _shrink_to_divisor(min(blk_q, S), S)
     bk = _shrink_to_divisor(min(blk_k, S), S)
 
-    # [B, S, nh, hd] -> [B, nkv, n_rep, S, hd]; [B, S, nkv, hd] -> [B, nkv, S, hd]
-    qg = q.reshape(B, S, nkv, n_rep, hd).transpose(0, 2, 3, 1, 4)
-    kt = k.transpose(0, 2, 1, 3)
-    vt = v.transpose(0, 2, 1, 3)
+    q3 = q.reshape(B, S, nh * hd)  # minor-dims collapse: no data movement
+    k3 = k.reshape(B, S, nkv * hd)
+    v3 = v.reshape(B, S, nkv * hd)
 
     grid = (B, nkv, S // bq)
     out = pl.pallas_call(
         functools.partial(_flash_prefill_kernel, sm_scale=sm_scale, blk_q=bq,
                           blk_k=bk, hd=hd, n_rep=n_rep),
-        out_shape=jax.ShapeDtypeStruct((B, nkv, n_rep, S, hd), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, S, nh * hd), q.dtype),
         grid_spec=pl.GridSpec(
             grid=grid,
             in_specs=[
-                pl.BlockSpec((1, 1, n_rep, bq, hd), lambda b, h, i: (b, h, 0, i, 0)),
-                pl.BlockSpec((1, 1, S, hd), lambda b, h, i: (b, h, 0, 0)),
-                pl.BlockSpec((1, 1, S, hd), lambda b, h, i: (b, h, 0, 0)),
+                pl.BlockSpec((1, bq, n_rep * hd), lambda b, h, i: (b, i, h)),
+                pl.BlockSpec((1, S, hd), lambda b, h, i: (b, 0, h)),
+                pl.BlockSpec((1, S, hd), lambda b, h, i: (b, 0, h)),
             ],
             out_specs=pl.BlockSpec(
-                (1, 1, n_rep, bq, hd), lambda b, h, i: (b, h, 0, i, 0)
+                (1, bq, n_rep * hd), lambda b, h, i: (b, i, h)
             ),
         ),
         interpret=interpret,
-    )(qg, kt, vt)
-    # [B, nkv, n_rep, S, hd] -> [B, S, nh, hd]
-    return out.transpose(0, 3, 1, 2, 4).reshape(B, S, nh, hd)
+    )(q3, k3, v3)
+    return out.reshape(B, S, nh, hd)
 
 
 def _shrink_to_divisor(b: int, S: int) -> int:

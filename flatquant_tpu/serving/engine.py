@@ -270,13 +270,6 @@ def serving_layer(
         # relayout-free grouped pipeline (see quantized._quant_mlp_grouped)
         x = x + y_mlp.reshape(h2.shape[:-1] + (y_mlp.shape[-1],))
         return x, ck, cv
-    y_mlp = (_quant_mlp_grouped(h2.reshape(-1, h2.shape[-1]), sl,
-                                compute_dtype, fq_cfg.a_cfg.q_max)
-             if (use_kernel and fq_cfg.a_cfg.enabled) else None)
-    if y_mlp is not None:
-        # relayout-free grouped pipeline (see quantized._quant_mlp_grouped)
-        x = x + y_mlp.reshape(h2.shape[:-1] + (y_mlp.shape[-1],))
-        return x, kp, kparam, vp, vparam
     if "upgate" in sl:
         act = _quant_swiglu(h2.reshape(-1, h2.shape[-1]), sl["upgate"],
                             use_kernel, compute_dtype,
