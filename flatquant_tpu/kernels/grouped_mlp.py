@@ -34,6 +34,8 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+
+from flatquant_tpu.kernels.common import resolve_interpret
 from jax.experimental.pallas import tpu as pltpu
 
 
@@ -74,7 +76,7 @@ def w4a4_swiglu_grouped(
     right,
     block_m: int = 512,
     block_n: int = 512,
-    interpret: bool = False,
+    interpret: bool = None,
 ):
     """Y[G, M, 128] = group_r(silu(deq(x@gate.T)) * deq(x@up.T)) @ right.
 
@@ -130,7 +132,7 @@ def w4a4_swiglu_grouped(
             bytes_accessed=m * k + n2 * k // 2 + m * nh * 2,
             transcendentals=m * nh,
         ),
-        interpret=interpret,
+        interpret=resolve_interpret(interpret),
     )(x_q, w_packed, w_packed, sx, sw, sw, right.astype(jnp.bfloat16))
 
 
@@ -166,7 +168,7 @@ def _quant_i8_grouped_left_kernel(lt_ref, x_ref, clip_ref, q_ref, s_ref, *,
     jax.jit, static_argnames=("q_max", "block_t", "interpret")
 )
 def left_quant_i8_grouped(left_t, x, clip=None, q_max: int = 7,
-                          block_t: int = 64, interpret: bool = False):
+                          block_t: int = 64, interpret: bool = None):
     """(codes, scales) = quant_per_token(left_t @ x) on the grouped layout.
 
     left_t [G, G]: the TRANSPOSED left Kronecker factor (pass left.T);
@@ -211,7 +213,7 @@ def left_quant_i8_grouped(left_t, x, clip=None, q_max: int = 7,
             bytes_accessed=g * t * 128 * (jnp.dtype(x.dtype).itemsize + 1),
             transcendentals=0,
         ),
-        interpret=interpret,
+        interpret=resolve_interpret(interpret),
     )(left_t.astype(jnp.bfloat16), x, clip_arr)
 
 
@@ -234,7 +236,7 @@ def _quant_i8_grouped_kernel(x_ref, clip_ref, q_ref, s_ref, *, q_max):
     jax.jit, static_argnames=("q_max", "block_t", "interpret")
 )
 def quant_acts_i8_grouped(x, clip=None, q_max: int = 7, block_t: int = 64,
-                          interpret: bool = False):
+                          interpret: bool = None):
     """Per-token quant over the grouped layout: x [G, T, 128] ->
     (int8 codes [G, T, 128], f32 scales [T, 1]). Token t's row is the
     concatenation over G of x[:, t, :]; scale math identical to
@@ -277,7 +279,7 @@ def quant_acts_i8_grouped(x, clip=None, q_max: int = 7, block_t: int = 64,
             bytes_accessed=g * t * 128 * (jnp.dtype(x.dtype).itemsize + 1),
             transcendentals=0,
         ),
-        interpret=interpret,
+        interpret=resolve_interpret(interpret),
     )(x, clip_arr)
 
 
@@ -326,7 +328,7 @@ def w4a4_matmul_i8_grouped(
     out_dtype=jnp.bfloat16,
     block_m: int = 256,
     block_n: int = 512,
-    interpret: bool = False,
+    interpret: bool = None,
 ):
     """y[M, N] = dequant( flatten(x_q) @ unpack(w_packed)^T ) where x_q is
     the grouped layout [G, M, 128] (flatten: column g*128+j = x_q[g, :, j]).
@@ -381,7 +383,7 @@ def w4a4_matmul_i8_grouped(
             + m * n * jnp.dtype(out_dtype).itemsize,
             transcendentals=0,
         ),
-        interpret=interpret,
+        interpret=resolve_interpret(interpret),
     )(x_q, w_packed, sx, sw)
 
 
@@ -414,7 +416,7 @@ def _rmsnorm_right_grouped_kernel(x_ref, w_ref, r_ref, o_ref, *, eps, gb):
     jax.jit, static_argnames=("eps", "block_t", "interpret")
 )
 def rmsnorm_right_grouped(x, w, right, eps: float, block_t: int = 256,
-                          interpret: bool = False):
+                          interpret: bool = None):
     """Fused rms_norm + Kronecker right factor, grouped output.
 
     x [T, H] -> [G, T, 128] bf16 where G = H/128: group g holds
@@ -447,7 +449,7 @@ def rmsnorm_right_grouped(x, w, right, eps: float, block_t: int = 256,
             bytes_accessed=t * h * (jnp.dtype(x.dtype).itemsize + 2),
             transcendentals=t,
         ),
-        interpret=interpret,
+        interpret=resolve_interpret(interpret),
     )(x, w.reshape(1, h), right.astype(jnp.bfloat16))
 
 
@@ -502,7 +504,7 @@ def w4a4_swiglu_grouped_gx(
     right,
     block_m: int = 512,
     block_n: int = 512,
-    interpret: bool = False,
+    interpret: bool = None,
 ):
     """w4a4_swiglu_grouped with GROUPED int8 activations [Gin, M, 128]
     (the left_quant_i8_grouped output) instead of flat [M, K] — the
@@ -558,5 +560,5 @@ def w4a4_swiglu_grouped_gx(
             bytes_accessed=gin * m * 128 + n2 * k // 2 + m * nh * 2,
             transcendentals=m * nh,
         ),
-        interpret=interpret,
+        interpret=resolve_interpret(interpret),
     )(x_qg, w_packed, w_packed, sx, sw, sw, right.astype(jnp.bfloat16))

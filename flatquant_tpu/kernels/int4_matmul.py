@@ -46,6 +46,8 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+
+from flatquant_tpu.kernels.common import resolve_interpret
 from jax.experimental.pallas import tpu as pltpu
 
 
@@ -135,7 +137,7 @@ def _quant_i8_kernel(x_ref, clip_ref, q_ref, s_ref, *, q_max):
     jax.jit, static_argnames=("q_max", "block_m", "interpret")
 )
 def quant_acts_i8(x, clip=None, q_max: int = 7, block_m: int = 256,
-                  interpret: bool = False):
+                  interpret: bool = None):
     """Per-token symmetric quant: x [M, K] fp -> (int8 codes [M, K],
     f32 scales [M, 1]) in one HBM pass.
 
@@ -179,7 +181,7 @@ def quant_acts_i8(x, clip=None, q_max: int = 7, block_m: int = 256,
             bytes_accessed=m * k * jnp.dtype(x.dtype).itemsize + m * k + 4 * m,
             transcendentals=0,
         ),
-        interpret=interpret,
+        interpret=resolve_interpret(interpret),
     )(x, clip_arr)
 
 
@@ -216,7 +218,7 @@ def w4a8_matmul(
     out_dtype=jnp.bfloat16,
     block_m: int = 256,
     block_n: int = 256,
-    interpret: bool = False,
+    interpret: bool = None,
 ):
     """y[M, N] = dequant( x_q[M, K] @ unpack(w_packed)[N, K]^T ).
 
@@ -254,7 +256,7 @@ def w4a8_matmul(
             bytes_accessed=m * k + n * k // 2 + m * n * jnp.dtype(out_dtype).itemsize,
             transcendentals=0,
         ),
-        interpret=interpret,
+        interpret=resolve_interpret(interpret),
     )(x_q, w_packed, sx, sw)
 
 
@@ -309,7 +311,7 @@ def w4a4_matmul_i8(
     out_dtype=jnp.bfloat16,
     block_m: int = 512,
     block_n: int = 1024,
-    interpret: bool = False,
+    interpret: bool = None,
 ):
     """y[M, N] = dequant( x_q[M, K] @ unpack(w_packed)[N, K]^T ), int8 MXU.
 
@@ -362,7 +364,7 @@ def w4a4_matmul_i8(
             bytes_accessed=m * k + n * k // 2 + m * n * jnp.dtype(out_dtype).itemsize,
             transcendentals=0,
         ),
-        interpret=interpret,
+        interpret=resolve_interpret(interpret),
     )(x_q, w_packed, sx, sw)
 
 
@@ -409,7 +411,7 @@ def w4a4_matmul_i8_swiglu(
     out_dtype=jnp.bfloat16,
     block_m: int = 512,
     block_n: int = 512,
-    interpret: bool = False,
+    interpret: bool = None,
 ):
     """out[M, N/2] = silu(deq(x@gate.T)) * deq(x@up.T), int8 MXU.
 
@@ -464,7 +466,7 @@ def w4a4_matmul_i8_swiglu(
             + m * nh * jnp.dtype(out_dtype).itemsize,
             transcendentals=m * nh,
         ),
-        interpret=interpret,
+        interpret=resolve_interpret(interpret),
     )(x_q, w_packed, w_packed, sx, sw, sw)
 
 
@@ -542,7 +544,7 @@ def w4a4_matmul_i8_fusedq(
     out_dtype=jnp.bfloat16,
     block_m: int = 256,
     block_n: int = 512,
-    interpret: bool = False,
+    interpret: bool = None,
 ):
     """y[M, N] = dequant( quant_per_token(x)[M, K] @ unpack(w_packed)[N, K]^T ).
 
@@ -607,5 +609,5 @@ def w4a4_matmul_i8_fusedq(
             bytes_accessed=2 * m * k + n * k // 2 + m * n * jnp.dtype(out_dtype).itemsize,
             transcendentals=0,
         ),
-        interpret=interpret,
+        interpret=resolve_interpret(interpret),
     )(x, w_packed, clip_arr, sw)

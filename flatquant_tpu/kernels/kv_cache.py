@@ -48,6 +48,8 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+
+from flatquant_tpu.kernels.common import resolve_interpret
 from jax.experimental.pallas import tpu as pltpu
 
 
@@ -187,7 +189,7 @@ def _decode_kernel(valid_ref, q_ref, kp_ref, kparam_ref, vp_ref, vparam_ref,
 )
 def decode_attention_int4(q, kp, kparam, vp, vparam, valid_len,
                           sm_scale: float, block_s: int = 128,
-                          interpret: bool = False):
+                          interpret: bool = None):
     """Fused int4-KV decode attention.
 
     q [B, nh, hd] (already rotated into the K space); kp/vp
@@ -222,7 +224,7 @@ def decode_attention_int4(q, kp, kparam, vp, vparam, valid_len,
             ],
             out_specs=pl.BlockSpec((1, 1, n_rep, hd), lambda b, h, *_: (b, h, 0, 0)),
         ),
-        interpret=interpret,
+        interpret=resolve_interpret(interpret),
     )(valid_len.astype(jnp.int32), qg, kp_t, kparam_t, vp_t, vparam_t)
     return out.reshape(B, nh, hd)
 
@@ -288,7 +290,7 @@ def _decode_kernel_wide(valid_ref, q_ref, kp_ref, kparam_ref, vp_ref,
 @functools.partial(jax.jit, static_argnames=("sm_scale", "block_s", "interpret"))
 def decode_attention_int4_wide(q, kp, kparam, vp, vparam, valid_len,
                                sm_scale: float, block_s: int = 512,
-                               interpret: bool = False):
+                               interpret: bool = None):
     """decode_attention_int4 with one grid step per batch element (kv heads
     looped in-kernel) — fewer grid steps, same math."""
     B, nkv, S, hdh = kp.shape
@@ -313,7 +315,7 @@ def decode_attention_int4_wide(q, kp, kparam, vp, vparam, valid_len,
             ],
             out_specs=pl.BlockSpec((1, nkv, n_rep, hd), lambda b, *_: (b, 0, 0, 0)),
         ),
-        interpret=interpret,
+        interpret=resolve_interpret(interpret),
     )(valid_len.astype(jnp.int32), qg, kp, kparam, vp, vparam)
     return out.reshape(B, nh, hd)
 
@@ -383,7 +385,7 @@ def _decode_kernel_v3(valid_ref, q_ref, kp_ref, kparam_ref, vp_ref,
 @functools.partial(jax.jit, static_argnames=("sm_scale", "block_s", "interpret"))
 def decode_attention_int4_v3(q, kp, kparam, vp, vparam, valid_len,
                              sm_scale: float, block_s: int = 512,
-                             interpret: bool = False):
+                             interpret: bool = None):
     """Algebraic-dequant int4 flash-decode (see header note)."""
     B, nkv, S, hdh = kp.shape
     hd = hdh * 2
@@ -406,7 +408,7 @@ def decode_attention_int4_v3(q, kp, kparam, vp, vparam, valid_len,
             ],
             out_specs=pl.BlockSpec((1, 1, n_rep, hd), lambda b, h, *_: (b, h, 0, 0)),
         ),
-        interpret=interpret,
+        interpret=resolve_interpret(interpret),
     )(valid_len.astype(jnp.int32), qg, kp, kparam, vp, vparam)
     return out.reshape(B, nh, hd)
 
@@ -483,7 +485,7 @@ def _decode_kernel_v4(valid_ref, q_ref, kp_ref, kpar_ref, vp_ref, vpar_ref,
 @functools.partial(jax.jit, static_argnames=("sm_scale", "block_s", "interpret"))
 def decode_attention_int4_v4(q, kp, kparam, vp, vparam, valid_len,
                              sm_scale: float, block_s: int = 4096,
-                             interpret: bool = False):
+                             interpret: bool = None):
     """Lane-full transposed-layout int4 flash-decode (see header note).
 
     q [B, nh, hd]; kp/vp [B, nkv, hd/2, S] uint8; kparam/vparam
@@ -525,7 +527,7 @@ def decode_attention_int4_v4(q, kp, kparam, vp, vparam, valid_len,
                 pltpu.VMEM((n_rep, 1), jnp.float32),   # zacc
             ],
         ),
-        interpret=interpret,
+        interpret=resolve_interpret(interpret),
     )(valid_len.astype(jnp.int32), qg, kp, kparam, vp, vparam)
     return out.reshape(B, nh, hd)
 
@@ -620,7 +622,7 @@ def _chunk_kernel_v4(pos_ref, q_ref, kp_ref, kpar_ref, vp_ref, vpar_ref,
 
 @functools.partial(jax.jit, static_argnames=("sm_scale", "block_s", "interpret"))
 def chunk_attention_int4_v4(q, kp, kparam, vp, vparam, pos, sm_scale: float,
-                            block_s: int = 2048, interpret: bool = False):
+                            block_s: int = 2048, interpret: bool = None):
     """Chunked-prefill attention over the v4 packed cache.
 
     q [B, Sq, nh, hd] (chunk queries, already rope'd/k-space-rotated);
@@ -663,7 +665,7 @@ def chunk_attention_int4_v4(q, kp, kparam, vp, vparam, pos, sm_scale: float,
                 pltpu.VMEM((R, 1), jnp.float32),   # zacc
             ],
         ),
-        interpret=interpret,
+        interpret=resolve_interpret(interpret),
     )(pos.astype(jnp.int32), qg, kp, kparam, vp, vparam)
     # [B, nkv, n_rep, Sq, hd] -> [B, Sq, nh, hd]
     out = out.reshape(B, nkv, n_rep, sq, hd).transpose(0, 3, 1, 2, 4)

@@ -31,6 +31,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
+
+from flatquant_tpu.kernels.common import resolve_interpret
 from jax.experimental.pallas import tpu as pltpu
 
 
@@ -91,7 +93,7 @@ def _flash_prefill_kernel(q_ref, k_ref, v_ref, o_ref, *, sm_scale, blk_q,
     jax.jit, static_argnames=("sm_scale", "blk_q", "blk_k", "interpret")
 )
 def flash_prefill_attention(q, k, v, sm_scale: float, blk_q: int = 256,
-                            blk_k: int = 512, interpret: bool = False):
+                            blk_k: int = 512, interpret: bool = None):
     """Causal self-attention over a full prompt, O(S * blk) memory.
 
     q [B, S, nh, hd]; k/v [B, S, nkv, hd] (nh % nkv == 0, GQA shared
@@ -132,7 +134,7 @@ def flash_prefill_attention(q, k, v, sm_scale: float, blk_q: int = 256,
                 (1, bq, n_rep * hd), lambda b, h, i: (b, i, h)
             ),
         ),
-        interpret=interpret,
+        interpret=resolve_interpret(interpret),
     )(q3, k3, v3)
     return out.reshape(B, S, nh, hd)
 

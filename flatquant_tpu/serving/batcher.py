@@ -77,6 +77,8 @@ class ContinuousBatcher:
         cache_mode: str = "bf16",
         prefill_bucket: int = 0,
         prefill_chunk: int = 0,
+        mesh=None,
+        tp_axis: str = "tp",
     ):
         """cache_mode="int4": packed int4 KV cache + Pallas flash-decode
         (the flagship cache under continuous batching; per-slot positions
@@ -95,7 +97,15 @@ class ContinuousBatcher:
         semantics — while one-shot prefill keeps the reference's
         unquantized-prompt trick; greedy outputs on calibrated models
         agree, and all chunk shapes compile once (prompts pad to a chunk
-        multiple)."""
+        multiple).
+
+        mesh: a jax Mesh with a `tp_axis` axis runs every program
+        tensor-parallel through parallel/serving_tp.py shard_map wrappers
+        (serving_params must come from build_serving_params(tp=tp) and
+        shard-aligned transforms); the KV cache shards over kv heads.
+        Greedy outputs stay bit-identical to the unsharded batcher — the
+        reference instead delegates TP serving to vLLM workers
+        (vllm_custom/, per-rank transform remap)."""
         self.cfg = cfg
         self.fq_cfg = fq_cfg
         self.sp = serving_params
@@ -118,10 +128,22 @@ class ContinuousBatcher:
         # cache would compile one program for the first call and a second
         # one when the (committed) outputs feed back — device-traced as a
         # 3.8 s mid-serving stall on the second prefill chunk
+        self.mesh = mesh
+        self.tp_axis = tp_axis
         self._dev = jax.devices()[0]
-        self.cache = jax.device_put(
-            init_cache(cfg, batch_slots, max_len, dtype=compute_dtype,
-                       mode=cache_mode), self._dev)
+        if mesh is None:
+            self.cache = jax.device_put(
+                init_cache(cfg, batch_slots, max_len, dtype=compute_dtype,
+                           mode=cache_mode), self._dev)
+        else:
+            from flatquant_tpu.parallel import serving_tp as stp
+
+            self.sp, sp_specs = stp.shard_serving_params(
+                serving_params, mesh, tp_axis)
+            self.cache, cache_specs = stp.make_sharded_cache(
+                cfg, batch_slots, max_len, mesh, mode=cache_mode,
+                dtype=compute_dtype, tp_axis=tp_axis)
+            self._tp_specs = (sp_specs, cache_specs)
         self.pos = np.zeros(batch_slots, np.int32)  # current length per slot
         self.remaining = np.zeros(batch_slots, np.int32)
         self.slot_req: List[Optional[Request]] = [None] * batch_slots
@@ -135,8 +157,18 @@ class ContinuousBatcher:
         # the SAME jit wrappers — a fresh instance (restart, benchmark
         # scenario, new tenant) costs zero re-traces (~0.6 s/program
         # otherwise, paid mid-serving)
-        self._prefill_one, self._decode_multi, self._chunk_one = \
-            _batcher_programs(cfg, fq_cfg, use_kernel, max_len, compute_dtype)
+        if mesh is None:
+            self._prefill_one, self._decode_multi, self._chunk_one = \
+                _batcher_programs(cfg, fq_cfg, use_kernel, max_len,
+                                  compute_dtype)
+        else:
+            from flatquant_tpu.parallel import serving_tp as stp
+
+            self._prefill_one, self._decode_multi, self._chunk_one = \
+                stp.tp_serving_programs(
+                    cfg, fq_cfg, mesh, *self._tp_specs,
+                    use_kernel=use_kernel, max_len=max_len,
+                    compute_dtype=compute_dtype, tp_axis=tp_axis)
 
     # -- public API ---------------------------------------------------------
 
@@ -176,15 +208,26 @@ class ContinuousBatcher:
             else:
                 self._prefill_into_slot(slot, self.queue.pop(0))
 
+    def _new_cache1(self):
+        """Committed single-slot prefill cache (sharded when under a mesh)."""
+        if self.mesh is None:
+            return jax.device_put(
+                init_cache(self.cfg, 1, self.max_len, dtype=self.compute_dtype,
+                           mode=self.cache_mode), self._dev)
+        from flatquant_tpu.parallel import serving_tp as stp
+
+        c, _ = stp.make_sharded_cache(
+            self.cfg, 1, self.max_len, self.mesh, mode=self.cache_mode,
+            dtype=self.compute_dtype, tp_axis=self.tp_axis)
+        return c
+
     def _start_pending(self, slot: int, req: Request):
         S = len(req.prompt)
         assert S + req.max_new_tokens <= self.max_len
         C = self.prefill_chunk
         S_pad = min(-(-S // C) * C, self.max_len)
         toks = np.pad(req.prompt, (0, S_pad - S))
-        cache1 = jax.device_put(
-            init_cache(self.cfg, 1, self.max_len, dtype=self.compute_dtype,
-                       mode=self.cache_mode), self._dev)
+        cache1 = self._new_cache1()
         self.pending = {"slot": slot, "req": req, "toks": toks, "S": S,
                         "cache1": cache1, "ci": 0, "n": S_pad // C}
 
@@ -226,9 +269,7 @@ class ContinuousBatcher:
             S_pad = -(-S // self.prefill_bucket) * self.prefill_bucket
             S_pad = min(S_pad, self.max_len)
             toks = np.pad(toks, (0, S_pad - S))
-        cache1 = jax.device_put(
-            init_cache(self.cfg, 1, self.max_len, dtype=self.compute_dtype,
-                       mode=self.cache_mode), self._dev)
+        cache1 = self._new_cache1()
         logits, cache1 = self._prefill_one(
             self.sp, jnp.asarray(toks[None, :]), cache1,
             jnp.asarray([S - 1], np.int32),

@@ -105,23 +105,34 @@ def serving_layer(
     phase: str,
     use_kernel: bool,
     compute_dtype=jnp.bfloat16,
+    tp_axis=None,
 ):
     """One quantized decoder layer.
 
     x: [B, S, H]; ck/cv: this layer's cache [B, Smax, nkv, hd];
     pos: first position index of x (prefill: 0, decode: current length).
     Returns (x_out, ck, cv).
+
+    tp_axis: set when called inside a shard_map whose named axis tensor-
+    shards this layer (parallel/serving_tp.py) — cfg must then be the
+    LOCAL config (heads/intermediate divided by tp). Row-parallel o/down
+    psum their partial outputs over the axis and quantize with global
+    per-token scales (exact single-device parity); the grouped Pallas
+    fast paths are bypassed because their in-kernel quant scales are
+    shard-local.
     """
     B, S, H = x.shape
     nh, nkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
     k4 = fq_cfg.k_cfg.enabled
     v4 = fq_cfg.v_cfg.enabled
 
-    def qlin(h, lin, bias=None):
+    def qlin(h, lin, bias=None, axis=None):
         y = _quant_linear(h.reshape(-1, h.shape[-1]), lin, use_kernel,
                           compute_dtype, quant_acts=fq_cfg.a_cfg.enabled,
-                          a_q_max=fq_cfg.a_cfg.q_max)
+                          a_q_max=fq_cfg.a_cfg.q_max, axis_name=axis)
         y = y.reshape(h.shape[:-1] + (lin["scale"].shape[0],))
+        if axis is not None:
+            y = jax.lax.psum(y, axis)  # row-parallel partial-sum reduce
         if bias is not None:
             y = y + bias.astype(y.dtype)
         return y
@@ -129,7 +140,8 @@ def serving_layer(
     # ---- attention ----
     qkv_g = (_grouped_attn_in(x.reshape(-1, H), sl, cfg.rms_eps,
                               compute_dtype, fq_cfg.a_cfg.q_max)
-             if (use_kernel and fq_cfg.a_cfg.enabled) else None)
+             if (use_kernel and fq_cfg.a_cfg.enabled and tp_axis is None)
+             else None)
     if qkv_g is not None:
         # fully-grouped ln + transform + quant + merged-qkv GEMM
         # (tpu_decompose calibration; quantized._grouped_attn_in)
@@ -249,12 +261,13 @@ def serving_layer(
     elif "v_t_inv" in sl:
         attn = jnp.matmul(attn, sl["v_t_inv"].T.astype(attn.dtype))
     attn = attn.reshape(B, S, nh * hd)
-    x = x + qlin(attn, sl["o"])
+    x = x + qlin(attn, sl["o"], axis=tp_axis)
 
     # ---- mlp ----
     y_full = (_quant_mlp_grouped_full(x.reshape(-1, H), sl, cfg.rms_eps,
                                       compute_dtype, fq_cfg.a_cfg.q_max)
-              if (use_kernel and fq_cfg.a_cfg.enabled) else None)
+              if (use_kernel and fq_cfg.a_cfg.enabled and tp_axis is None)
+              else None)
     if y_full is not None:
         # fully-grouped MLP (tpu_decompose; quantized._quant_mlp_grouped_full)
         return x + y_full.reshape(x.shape), ck, cv
@@ -265,7 +278,8 @@ def serving_layer(
         h2 = kron_transform(h2, sl["ug_t"])
     y_mlp = (_quant_mlp_grouped(h2.reshape(-1, h2.shape[-1]), sl,
                                 compute_dtype, fq_cfg.a_cfg.q_max)
-             if (use_kernel and fq_cfg.a_cfg.enabled) else None)
+             if (use_kernel and fq_cfg.a_cfg.enabled and tp_axis is None)
+             else None)
     if y_mlp is not None:
         # relayout-free grouped pipeline (see quantized._quant_mlp_grouped)
         x = x + y_mlp.reshape(h2.shape[:-1] + (y_mlp.shape[-1],))
@@ -283,13 +297,13 @@ def serving_layer(
         act = kron_transform_perm(act, sl["down_tp"])
     elif "down_t" in sl:
         act = kron_transform(act, sl["down_t"])
-    x = x + qlin(act, sl["down"])
+    x = x + qlin(act, sl["down"], axis=tp_axis)
     return x, ck, cv
 
 
 def serving_layer_int4cache(
     cfg, fq_cfg, sl, x, cos, sin, kp, kparam, vp, vparam, pos, phase,
-    use_kernel, compute_dtype,
+    use_kernel, compute_dtype, tp_axis=None,
 ):
     """serving_layer variant over the packed int4 cache.
 
@@ -313,18 +327,21 @@ def serving_layer_int4cache(
     B, S, H = x.shape
     nh, nkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
 
-    def qlin(h, lin, bias=None):
+    def qlin(h, lin, bias=None, axis=None):
         y = _quant_linear(h.reshape(-1, h.shape[-1]), lin, use_kernel,
                           compute_dtype, quant_acts=fq_cfg.a_cfg.enabled,
-                          a_q_max=fq_cfg.a_cfg.q_max)
+                          a_q_max=fq_cfg.a_cfg.q_max, axis_name=axis)
         y = y.reshape(h.shape[:-1] + (lin["scale"].shape[0],))
+        if axis is not None:
+            y = jax.lax.psum(y, axis)  # row-parallel partial-sum reduce
         if bias is not None:
             y = y + bias.astype(y.dtype)
         return y
 
     qkv_g = (_grouped_attn_in(x.reshape(-1, H), sl, cfg.rms_eps,
                               compute_dtype, fq_cfg.a_cfg.q_max)
-             if (use_kernel and fq_cfg.a_cfg.enabled) else None)
+             if (use_kernel and fq_cfg.a_cfg.enabled and tp_axis is None)
+             else None)
     if qkv_g is not None:
         qkv = qkv_g.reshape(B, S, qkv_g.shape[-1])
         if sl.get("bqkv") is not None:
@@ -454,11 +471,12 @@ def serving_layer_int4cache(
     elif "v_t_inv" in sl:
         attn = jnp.matmul(attn, sl["v_t_inv"].T.astype(attn.dtype))
     attn = attn.reshape(B, S, nh * hd)
-    x = x + qlin(attn, sl["o"])
+    x = x + qlin(attn, sl["o"], axis=tp_axis)
 
     y_full = (_quant_mlp_grouped_full(x.reshape(-1, H), sl, cfg.rms_eps,
                                       compute_dtype, fq_cfg.a_cfg.q_max)
-              if (use_kernel and fq_cfg.a_cfg.enabled) else None)
+              if (use_kernel and fq_cfg.a_cfg.enabled and tp_axis is None)
+              else None)
     if y_full is not None:
         # fully-grouped MLP (tpu_decompose; quantized._quant_mlp_grouped_full)
         return x + y_full.reshape(x.shape), kp, kparam, vp, vparam
@@ -480,7 +498,7 @@ def serving_layer_int4cache(
         act = kron_transform_perm(act, sl["down_tp"])
     elif "down_t" in sl:
         act = kron_transform(act, sl["down_t"])
-    x = x + qlin(act, sl["down"])
+    x = x + qlin(act, sl["down"], axis=tp_axis)
     return x, kp, kparam, vp, vparam
 
 
@@ -493,7 +511,7 @@ def _last_hidden(x, last_idx):
 
 
 def _forward(cfg, fq_cfg, sp, tokens, cache, pos, phase, use_kernel, max_len,
-             compute_dtype=jnp.bfloat16, last_idx=None):
+             compute_dtype=jnp.bfloat16, last_idx=None, tp_axis=None):
     B, S = tokens.shape
     x = sp["embed"][tokens].astype(compute_dtype)
     cos, sin = _rope_slice(cfg, max_len)
@@ -516,7 +534,7 @@ def _forward(cfg, fq_cfg, sp, tokens, cache, pos, phase, use_kernel, max_len,
                 x, kp_i, kparam_i, vp_i, vparam_i = serving_layer_int4cache(
                     cfg, fq_cfg, sl, x, cos, sin, cache["kp"][i], cache["kparam"][i],
                     cache["vp"][i], cache["vparam"][i], pos, phase, use_kernel,
-                    compute_dtype,
+                    compute_dtype, tp_axis=tp_axis,
                 )
                 kps.append(kp_i); kpars.append(kparam_i)
                 vps.append(vp_i); vpars.append(vparam_i)
@@ -530,7 +548,7 @@ def _forward(cfg, fq_cfg, sp, tokens, cache, pos, phase, use_kernel, max_len,
         for i, sl in enumerate(sp["layers"]):
             x, ck_i, cv_i = serving_layer(
                 cfg, fq_cfg, sl, x, cos, sin, cache["k"][i], cache["v"][i],
-                pos, phase, use_kernel, compute_dtype,
+                pos, phase, use_kernel, compute_dtype, tp_axis=tp_axis,
             )
             cks.append(ck_i); cvs.append(cv_i)
         x = rms_norm(x, sp["final_norm_w"], cfg.rms_eps)
@@ -547,7 +565,7 @@ def _forward(cfg, fq_cfg, sp, tokens, cache, pos, phase, use_kernel, max_len,
             sl, kp, kparam, vp, vparam = xs
             x, kp, kparam, vp, vparam = serving_layer_int4cache(
                 cfg, fq_cfg, sl, x, cos, sin, kp, kparam, vp, vparam, pos,
-                phase, use_kernel, compute_dtype,
+                phase, use_kernel, compute_dtype, tp_axis=tp_axis,
             )
             return x, (kp, kparam, vp, vparam)
 
@@ -566,7 +584,7 @@ def _forward(cfg, fq_cfg, sp, tokens, cache, pos, phase, use_kernel, max_len,
         sl, ck, cv = xs
         x, ck, cv = serving_layer(
             cfg, fq_cfg, sl, x, cos, sin, ck, cv, pos, phase, use_kernel,
-            compute_dtype,
+            compute_dtype, tp_axis=tp_axis,
         )
         return x, (ck, cv)
 

@@ -72,6 +72,40 @@ def _clip_sigmoid(c) -> Optional[jnp.ndarray]:
     return None if c is None else jax.nn.sigmoid(c.astype(jnp.float32))
 
 
+def _interleave_rows(ws, tp: int):
+    """Stack per-shard row blocks of several [out_i, ...] arrays:
+    [a0, b0, ..., a1, b1, ...] so that sharding the merged out dim over tp
+    gives each shard its own contiguous [a_s; b_s; ...] — the per-rank
+    weight layout of the reference's vLLM QKVParallelLinear
+    (llama_flatquant.py:557-562 remaps transforms the same way)."""
+    if tp == 1:
+        return jnp.concatenate(ws, axis=0)
+    blocks = []
+    for s in range(tp):
+        for w in ws:
+            o = w.shape[0] // tp
+            blocks.append(w[s * o:(s + 1) * o])
+    return jnp.concatenate(blocks, axis=0)
+
+
+def _pack_linear_rp(w, w_cfg, tp: int, w_q=None) -> Dict[str, Any]:
+    """_pack_linear for ROW-parallel weights (o/down) under tensor
+    parallelism: the planar int4 packing pairs channel c with c + K/2
+    GLOBALLY, which would make an in-dim shard reference channels it does
+    not own. Pack each shard's K/tp input-channel block separately so the
+    byte dim shards into valid local planar packings (per-out-channel
+    scales are blocking-invariant)."""
+    if tp == 1 or w_cfg.bits == 8:
+        return _pack_linear(w, w_cfg, w_q)
+    scale, zero = weight_find_params(w, w_cfg)
+    q = weight_quantize_int(w if w_q is None else w_q, scale, zero, w_cfg)
+    kb = q.shape[1] // tp
+    wp = jnp.concatenate(
+        [pack_weight_planar(q[:, s * kb:(s + 1) * kb]) for s in range(tp)],
+        axis=1)
+    return {"wp": wp, "scale": scale[:, 0].astype(jnp.float32)}
+
+
 def build_serving_params(
     cfg: LlamaConfig,
     fq_cfg: FQConfig,
@@ -81,6 +115,7 @@ def build_serving_params(
     merge_projections: bool = False,
     eval_params: Optional[dict] = None,
     perm_transforms: bool = False,
+    tp: int = 1,
 ) -> dict:
     """Convert a reparameterized (bake_model, NOT rtn-quantized) model into
     the packed serving format. Stacked over layers like the fp params.
@@ -101,12 +136,25 @@ def build_serving_params(
     transposed-output form (kron_transform_perm) and permutes the
     matching packed weights' input channels to compensate — identical
     results, less prefill glue traffic. The serving production default;
-    leave False to compare layouts."""
+    leave False to compare layouts.
+
+    tp > 1 lays the packed weights out for tensor-parallel serving under
+    shard_map (parallel/serving_tp.py): merged projections interleave
+    per-shard row blocks ([q_s;k_s;v_s] / [up_s;gate_s] per shard) and
+    row-parallel o/down weights pack their int4 nibbles per input-channel
+    shard block — sharding the out (resp. packed-in) dim over "tp" then
+    hands every device a self-contained local model. Requires shard-aligned
+    transforms (init_model_fq(tp=tp)) and tp | num_kv_heads."""
     assert fq_cfg.w_cfg.sym and fq_cfg.w_cfg.group_size <= 0, (
         "real-quant path currently supports symmetric per-channel weights "
         "(the reference CUTLASS path has the same restriction, REALQUANT.md)"
     )
     assert fq_cfg.w_cfg.bits in (4, 8), "real-quant weights: int4 or int8"
+    if tp > 1:
+        assert not perm_transforms, "perm layout + tp not combined yet"
+        assert cfg.num_heads % tp == 0 and cfg.num_kv_heads % tp == 0, (
+            "head-granular tp rule", cfg.num_heads, cfg.num_kv_heads, tp)
+        assert cfg.intermediate_size % tp == 0
     w_cfg = fq_cfg.w_cfg
     eval_layers = (eval_params or baked_params)["layers"]
 
@@ -155,31 +203,34 @@ def build_serving_params(
             return w.reshape(od, t, g, cfg.head_dim).swapaxes(2, 3).reshape(od, ind)
 
         if merge_projections:
-            qkv_w = jnp.concatenate([lp["wq"], lp["wk"], lp["wv"]], axis=0)
-            qkv_q = jnp.concatenate([elp["wq"], elp["wk"], elp["wv"]], axis=0)
+            qkv_w = _interleave_rows([lp["wq"], lp["wk"], lp["wv"]], tp)
+            qkv_q = _interleave_rows([elp["wq"], elp["wk"], elp["wv"]], tp)
             out["qkv"] = _pack_linear(maybe_perm(qkv_w, ln_pair), w_cfg,
                                       maybe_perm(qkv_q, ln_pair))
-            ug_w = jnp.concatenate([lp["wup"], lp["wgate"]], axis=0)
-            ug_q = jnp.concatenate([elp["wup"], elp["wgate"]], axis=0)
+            ug_w = _interleave_rows([lp["wup"], lp["wgate"]], tp)
+            ug_q = _interleave_rows([elp["wup"], elp["wgate"]], tp)
             out["upgate"] = _pack_linear(maybe_perm(ug_w, ug_pair), w_cfg,
                                          maybe_perm(ug_q, ug_pair))
-            out["o"] = _pack_linear(maybe_perm_o(lp["wo"]), w_cfg,
-                                    maybe_perm_o(elp["wo"]))
-            out["down"] = _pack_linear(maybe_perm(lp["wdown"], down_pair),
-                                       w_cfg, maybe_perm(elp["wdown"], down_pair))
+            out["o"] = _pack_linear_rp(maybe_perm_o(lp["wo"]), w_cfg, tp,
+                                       maybe_perm_o(elp["wo"]))
+            out["down"] = _pack_linear_rp(maybe_perm(lp["wdown"], down_pair),
+                                          w_cfg, tp,
+                                          maybe_perm(elp["wdown"], down_pair))
             if lp.get("bq") is not None:
-                out["bqkv"] = jnp.concatenate(
-                    [lp["bq"], lp["bk"], lp["bv"]], axis=0
-                ).astype(jnp.float32)
+                out["bqkv"] = _interleave_rows(
+                    [lp["bq"], lp["bk"], lp["bv"]], tp).astype(jnp.float32)
         else:
             perm_of = {"wq": ln_pair, "wk": ln_pair, "wv": ln_pair,
                        "wup": ug_pair, "wgate": ug_pair, "wdown": down_pair}
             for name, key in (("q", "wq"), ("k", "wk"), ("v", "wv"),
-                              ("up", "wup"), ("gate", "wgate"), ("down", "wdown")):
+                              ("up", "wup"), ("gate", "wgate")):
                 out[name] = _pack_linear(maybe_perm(lp[key], perm_of[key]), w_cfg,
                                          maybe_perm(elp[key], perm_of[key]))
-            out["o"] = _pack_linear(maybe_perm_o(lp["wo"]), w_cfg,
-                                    maybe_perm_o(elp["wo"]))
+            out["down"] = _pack_linear_rp(maybe_perm(lp["wdown"], down_pair),
+                                          w_cfg, tp,
+                                          maybe_perm(elp["wdown"], down_pair))
+            out["o"] = _pack_linear_rp(maybe_perm_o(lp["wo"]), w_cfg, tp,
+                                       maybe_perm_o(elp["wo"]))
             for bkey in ("bq", "bk", "bv"):
                 if lp.get(bkey) is not None:
                     out[bkey] = lp[bkey].astype(jnp.float32)
@@ -266,8 +317,17 @@ PALLAS_QUANT_MIN_K: Optional[int] = 8192
 
 
 def _quant_linear(x2d, lin, use_kernel: bool, out_dtype=jnp.bfloat16,
-                  quant_acts: bool = True, a_q_max: int = 7):
+                  quant_acts: bool = True, a_q_max: int = 7,
+                  axis_name: Optional[str] = None):
     """Per-token quant + quantized-weight matmul. x2d: [T, K] fp.
+
+    axis_name: set inside a shard_map whose named axis shards THIS linear's
+    input channels (row-parallel o/down under tensor parallelism). The
+    per-token quant scale then uses the GLOBAL absmax (pmax/pmin over the
+    axis) so sharded serving is bit-identical to single-device — the
+    reference's vLLM path instead quantizes per-rank
+    (llama_flatquant.py:557-562), trading exactness for one less collective;
+    here the [T, 1] pmax rides ICI for free next to the output psum.
 
     Scale rule is byte-identical to the fake path (quant_utils.py:88-108):
     xmax/xmin clipped separately by their sigmoid factors, then
@@ -298,7 +358,7 @@ def _quant_linear(x2d, lin, use_kernel: bool, out_dtype=jnp.bfloat16,
                                lin["scale"], out_dtype)
         return w4a8_matmul_ref(x2d, ones, lin["wp"], lin["scale"], out_dtype)
     clip = lin.get("a_clip")
-    if (use_kernel and PALLAS_QUANT_MIN_K is not None
+    if (use_kernel and axis_name is None and PALLAS_QUANT_MIN_K is not None
             and x2d.shape[0] >= 256 and x2d.shape[1] >= PALLAS_QUANT_MIN_K
             and x2d.shape[1] % 128 == 0):
         # single-HBM-pass Pallas quant (quant_acts_i8). Device story:
@@ -320,6 +380,11 @@ def _quant_linear(x2d, lin, use_kernel: bool, out_dtype=jnp.bfloat16,
     xf = x2d.astype(jnp.float32)
     xmax = jnp.maximum(jnp.max(xf, axis=-1, keepdims=True), 0.0)
     xmin = jnp.minimum(jnp.min(xf, axis=-1, keepdims=True), 0.0)
+    if axis_name is not None:
+        # input channels are sharded over this named axis: the per-token
+        # scale must see the global extrema to match single-device math
+        xmax = jax.lax.pmax(xmax, axis_name)
+        xmin = jax.lax.pmin(xmin, axis_name)
     if clip is not None:
         rmax, rmin = clip
         xmax = xmax * rmax
