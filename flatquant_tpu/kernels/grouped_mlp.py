@@ -383,6 +383,12 @@ def w4a4_matmul_i8_grouped(
             + m * n * jnp.dtype(out_dtype).itemsize,
             transcendentals=0,
         ),
+        # the j==0 scratch hoist REQUIRES sequential grid execution with j
+        # fastest — pin it so a future megacore/parallel dimension split
+        # cannot silently leave one core reading stale scratch
+        compiler_params=pltpu.CompilerParams(dimension_semantics=(
+            pltpu.GridDimensionSemantics.ARBITRARY,
+            pltpu.GridDimensionSemantics.ARBITRARY)),
         interpret=resolve_interpret(interpret),
     )(x_q, w_packed, sx, sw)
 
@@ -560,5 +566,11 @@ def w4a4_swiglu_grouped_gx(
             bytes_accessed=gin * m * 128 + n2 * k // 2 + m * nh * 2,
             transcendentals=m * nh,
         ),
+        # the j==0 scratch hoist REQUIRES sequential grid execution with j
+        # fastest — pin it so a future megacore/parallel dimension split
+        # cannot silently leave one core reading stale scratch
+        compiler_params=pltpu.CompilerParams(dimension_semantics=(
+            pltpu.GridDimensionSemantics.ARBITRARY,
+            pltpu.GridDimensionSemantics.ARBITRARY)),
         interpret=resolve_interpret(interpret),
     )(x_qg, w_packed, w_packed, sx, sw, sw, right.astype(jnp.bfloat16))

@@ -189,8 +189,14 @@ def test_rmsnorm_right_grouped_matches_composed(rng):
     assert eq > 0.95, eq
 
 
-def test_swiglu_grouped_gx_matches_flat_x(rng):
-    """Grouped-x swiglu == flat-x swiglu on the same codes."""
+import pytest
+
+
+@pytest.mark.parametrize("block_n", [512, 128])
+def test_swiglu_grouped_gx_matches_flat_x(rng, block_n):
+    """Grouped-x swiglu == flat-x swiglu on the same codes. block_n=128
+    makes gridj = 4, exercising the j>0 reads of the j==0-hoisted concat/
+    rowsum scratch (ADVICE r2: the default block covered only gridj=1)."""
     from flatquant_tpu.core.orth import random_orthogonal
     from flatquant_tpu.kernels.grouped_mlp import (
         group_layout, w4a4_swiglu_grouped_gx)
@@ -206,7 +212,7 @@ def test_swiglu_grouped_gx_matches_flat_x(rng):
 
     want = w4a4_swiglu_grouped(xq, xs, wp, sw, right, interpret=True)
     got = w4a4_swiglu_grouped_gx(group_layout(xq, Gin), xs, wp, sw, right,
-                                 interpret=True)
+                                 block_n=block_n, interpret=True)
     np.testing.assert_array_equal(np.asarray(got, np.float32),
                                   np.asarray(want, np.float32))
 

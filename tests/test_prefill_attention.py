@@ -88,3 +88,31 @@ def test_flash_prefill_non_block_multiple_length():
     want = dense_causal_attention(q, k, v, sm, jnp.float32)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_flash_kernel_bf16_parity_interpret():
+    """bf16 inputs (the serving dtype): the kernel's PV matmul casts
+    softmax probabilities to bf16 for the MXU (ADVICE r2 — previously
+    only fp32 inputs were asserted). Tolerance sized to 1-2 bf16 ulps of
+    unit-scale outputs vs the fp32 dense oracle."""
+    import jax
+
+    from flatquant_tpu.kernels.prefill_attention import (
+        dense_causal_attention,
+        flash_prefill_attention,
+    )
+
+    B, S, nh, nkv, hd = 1, 256, 4, 2, 64
+    key = jax.random.PRNGKey(7)
+    kq, kk, kv = jax.random.split(key, 3)
+    q = jax.random.normal(kq, (B, S, nh, hd), jnp.bfloat16)
+    k = jax.random.normal(kk, (B, S, nkv, hd), jnp.bfloat16)
+    v = jax.random.normal(kv, (B, S, nkv, hd), jnp.bfloat16)
+    sm = 1.0 / np.sqrt(hd)
+    got = flash_prefill_attention(q, k, v, sm, blk_q=128, blk_k=128,
+                                  interpret=True)
+    want = dense_causal_attention(
+        q.astype(jnp.float32), k.astype(jnp.float32), v.astype(jnp.float32),
+        sm, compute_dtype=jnp.float32)
+    d = np.max(np.abs(np.asarray(got, np.float32) - np.asarray(want)))
+    assert d < 2e-2, d

@@ -71,6 +71,9 @@ def main():
     print(f"flash : {t_flash*1e3:8.3f} ms  {flops/t_flash/1e12:6.1f} TFLOPs")
     print(f"dense : {t_dense*1e3:8.3f} ms")
     print(f"max|d|: {d:.4f}  speedup {t_dense/t_flash:.2f}x")
+    if d > 3e-2:  # ~2 bf16 ulps at unit scale; regressions exit nonzero
+        print(f"FAIL: flash vs dense max|d| {d:.4f} > 3e-2")
+        raise SystemExit(1)
 
 
 if __name__ == "__main__":
