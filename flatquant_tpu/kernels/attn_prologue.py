@@ -1,0 +1,235 @@
+"""Fused attention prologue: qkv split + rope + K-space transforms +
+int4 KV-cache quantize/pack in ONE kernel pass.
+
+After the merged qkv GEMM, the serving prefill used to run an XLA chain of
+~8 ops per layer (split + head reshapes, rope, the k_t / k_t_inv head
+matmuls, asym-int4 KV quantization, nibble packing, and the v4-layout
+transposes), device-traced at ~230 us/layer of mostly layout traffic at
+llama-2-7b S=2048 — every op re-streaming 16-50 MB through HBM with XLA
+choosing incompatible layouts between them ({2,0,1} rope outputs forcing
+copies into the flash kernel and the quant chain).
+
+This kernel streams the [S, (nh+2*nkv)*128] qkv GEMM output once and
+emits everything the rest of the layer needs, all in flat row-major
+layouts (zero downstream relayouts):
+
+  q_rot [B, S, nh*128]   roped, rotated by Pk^{-T} (flash-ready)
+  k_rot [B, S, nkv*128]  roped, rotated by Pk (flash-ready; the prefill
+                         attends UNQUANTIZED per the reference trick,
+                         modeling_llama.py:125-137)
+  v     [B, S, nkv*128]  passthrough (flash-ready)
+  k/v codes  [B, nkv, S, 64] u8  planar int4 nibbles (c | c+64 << 4)
+  k/v params [B, nkv, S, 2] f32  (scale, zero) per (token, head)
+
+The codes/params go to the v4 transposed cache via one cheap XLA u8/f32
+transpose (4 MB instead of the 33 MB bf16 relayouts it replaces).
+
+Numerics are pinned op-for-op to the composed chain (rope in bf16,
+head matmuls bf16 with f32 accumulation, quantization in f32 — see
+kv_cache.quantize_pack_kv); rotate-half is computed as
+roll(x, 64) * sign-folded sin so no sub-128 lane slicing is needed.
+
+Reference analog: the FlashInfer append path + CUDA quant
+(deploy/kernels/include/flashinfer/page.cuh, quantization.cuh) — which
+fuses only the quantize+append; rope and the FlatQuant k-transform stay
+separate torch ops there (deploy/transformers/modeling_llama.py:88-123).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+from flatquant_tpu.kernels.common import resolve_interpret
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _quant_pack_head(tf, cmax, cmin):
+    """Asym int4 per token over 128 lanes; returns (codes u8 [bt, 64],
+    scale [bt, 1] f32, zero [bt, 1] f32). Math identical to
+    kv_cache.quantize_pack_kv."""
+    tmax = jnp.maximum(jnp.max(tf, axis=-1, keepdims=True), 0.0) * cmax
+    tmin = jnp.minimum(jnp.min(tf, axis=-1, keepdims=True), 0.0) * cmin
+    degenerate = (tmin == 0) & (tmax == 0)
+    tmin = jnp.where(degenerate, -1.0, tmin)
+    tmax = jnp.where(degenerate, 1.0, tmax)
+    scale = (tmax - tmin) / 15.0
+    zero = jnp.round(-tmin / scale)
+    q = jnp.clip(jnp.round(tf / scale) + zero, 0, 15).astype(jnp.int32)
+    # planar pack: byte c = q[c] | q[c+64] << 4 (int32 math — Mosaic has
+    # no u8 vector shifts)
+    byte = (q[:, :64] + q[:, 64:] * 16).astype(jnp.uint8)
+    return byte, scale, zero
+
+
+def _attn_prologue_kernel(qkv_ref, cos_ref, sin_ref, rot_ref, kt_ref,
+                          kti_ref, clip_ref, q_ref, k_ref, v_ref, kq_ref,
+                          kp_ref, vq_ref, vp_ref, *, nh, nkv):
+    cos = cos_ref[:]  # [bt, 128] bf16
+    sin = sin_ref[:]
+    rot = rot_ref[:]  # signed half-rotation permutation (see wrapper)
+    kt = kt_ref[:]
+    kti = kti_ref[:]
+    qoff = nh * 128
+    voff = (nh + nkv) * 128
+
+    def rope(x):
+        # x*cos + rotate_half(x)*sin, bf16 (matches models.llama.apply_rope).
+        # rotate_half runs on the MXU as a +-1 permutation matrix — exact
+        # (single-product f32 accumulation), and supported where Mosaic's
+        # bf16 lane rotate (tpu.dynamic_rotate) is not.
+        rx = jax.lax.dot_general(
+            x, rot, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(x.dtype)
+        return x * cos + rx * sin
+
+    for h in range(nh):
+        qh = qkv_ref[0, :, h * 128:(h + 1) * 128]
+        qr = jax.lax.dot_general(
+            rope(qh), kti, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(q_ref.dtype)
+        q_ref[0, :, h * 128:(h + 1) * 128] = qr
+    for h in range(nkv):
+        kh = qkv_ref[0, :, qoff + h * 128:qoff + (h + 1) * 128]
+        kr = jax.lax.dot_general(
+            rope(kh), kt, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(k_ref.dtype)
+        k_ref[0, :, h * 128:(h + 1) * 128] = kr
+        byte, scale, zero = _quant_pack_head(
+            kr.astype(jnp.float32), clip_ref[0, 0], clip_ref[0, 1])
+        kq_ref[0, h] = byte
+        kp_ref[0, h, :, 0:1] = scale
+        kp_ref[0, h, :, 1:2] = zero
+        vh = qkv_ref[0, :, voff + h * 128:voff + (h + 1) * 128]
+        v_ref[0, :, h * 128:(h + 1) * 128] = vh
+        byte, scale, zero = _quant_pack_head(
+            vh.astype(jnp.float32), clip_ref[0, 2], clip_ref[0, 3])
+        vq_ref[0, h] = byte
+        vp_ref[0, h, :, 0:1] = scale
+        vp_ref[0, h, :, 1:2] = zero
+
+
+@functools.partial(
+    jax.jit, static_argnames=("nh", "nkv", "block_t", "interpret")
+)
+def attn_prologue(qkv, cos, sin, k_t, k_t_inv, kc_clip=None, vc_clip=None,
+                  nh: int = 32, nkv: int = 32, block_t: int = 64,
+                  interpret: bool = None):
+    """qkv [B, S, (nh + 2*nkv)*128] bf16 (merged GEMM output, head_dim
+    128); cos/sin [S, 128] rope tables for positions [0, S).
+
+    Returns (q_rot [B, S, nh*128], k_rot [B, S, nkv*128],
+    v [B, S, nkv*128], k_codes [B, nkv, S, 64] u8,
+    k_params [B, nkv, S, 2] f32, v_codes, v_params).
+    """
+    B, S, D = qkv.shape
+    hd = 128
+    assert D == (nh + 2 * nkv) * hd, (D, nh, nkv)
+    assert S % 128 == 0 or S <= block_t
+    bt = min(block_t, S)
+    while S % bt:
+        bt //= 2
+    clips = []
+    for c in (kc_clip, vc_clip):
+        if c is None:
+            clips += [jnp.float32(1.0), jnp.float32(1.0)]
+        else:
+            clips += [c[0].reshape(()).astype(jnp.float32),
+                      c[1].reshape(()).astype(jnp.float32)]
+    clip_arr = jnp.stack(clips).reshape(1, 4)
+    cos_b = cos.astype(jnp.bfloat16)
+    sin_b = sin.astype(jnp.bfloat16)
+    # signed permutation computing rotate_half: rot[d+64, d] = -1 (d < 64),
+    # rot[d-64, d] = +1 (d >= 64); +-1 entries are exact in bf16
+    d_ = jnp.arange(hd)
+    rot = jnp.zeros((hd, hd), jnp.bfloat16)
+    rot = rot.at[d_[:hd // 2] + hd // 2, d_[:hd // 2]].set(-1.0)
+    rot = rot.at[d_[hd // 2:] - hd // 2, d_[hd // 2:]].set(1.0)
+
+    grid = (B, S // bt)
+    out = pl.pallas_call(
+        functools.partial(_attn_prologue_kernel, nh=nh, nkv=nkv),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, S, nh * hd), qkv.dtype),
+            jax.ShapeDtypeStruct((B, S, nkv * hd), qkv.dtype),
+            jax.ShapeDtypeStruct((B, S, nkv * hd), qkv.dtype),
+            jax.ShapeDtypeStruct((B, nkv, S, hd // 2), jnp.uint8),
+            jax.ShapeDtypeStruct((B, nkv, S, 2), jnp.float32),
+            jax.ShapeDtypeStruct((B, nkv, S, hd // 2), jnp.uint8),
+            jax.ShapeDtypeStruct((B, nkv, S, 2), jnp.float32),
+        ),
+        grid_spec=pl.GridSpec(
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, bt, D), lambda b, i: (b, i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((bt, hd), lambda b, i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((bt, hd), lambda b, i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((hd, hd), lambda b, i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((hd, hd), lambda b, i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((hd, hd), lambda b, i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 4), lambda b, i: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec((1, bt, nh * hd), lambda b, i: (b, i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, bt, nkv * hd), lambda b, i: (b, i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, bt, nkv * hd), lambda b, i: (b, i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, nkv, bt, hd // 2),
+                             lambda b, i: (b, 0, i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, nkv, bt, 2), lambda b, i: (b, 0, i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, nkv, bt, hd // 2),
+                             lambda b, i: (b, 0, i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, nkv, bt, 2), lambda b, i: (b, 0, i, 0),
+                             memory_space=pltpu.VMEM),
+            ),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * S * (nh + nkv) * hd * hd + 10 * B * S * D,
+            bytes_accessed=B * S * D * 2 * 2 + B * S * nkv * hd + 16 * B * S,
+            transcendentals=0,
+        ),
+        interpret=resolve_interpret(interpret),
+    )(qkv, cos_b, sin_b, rot, k_t.astype(jnp.bfloat16),
+      k_t_inv.astype(jnp.bfloat16), clip_arr)
+    return out
+
+
+def attn_prologue_ref(qkv, cos, sin, k_t, k_t_inv, kc_clip=None,
+                      vc_clip=None, nh: int = 32, nkv: int = 32):
+    """Pure-XLA oracle: the composed engine chain, same output layouts."""
+    from flatquant_tpu.kernels.kv_cache import quantize_pack_kv
+    from flatquant_tpu.models.llama import apply_rope
+
+    B, S, D = qkv.shape
+    hd = 128
+    q, k, v = jnp.split(qkv, [nh * hd, (nh + nkv) * hd], axis=-1)
+    q = q.reshape(B, S, nh, hd)
+    k = k.reshape(B, S, nkv, hd)
+    q, k = apply_rope(q, k, cos, sin)
+    k = jnp.matmul(k.astype(k_t.dtype), k_t)
+    q = jnp.matmul(q.astype(k_t_inv.dtype), k_t_inv)
+    v4 = v.reshape(B, S, nkv, hd)
+    kq, ks, kz = quantize_pack_kv(k, kc_clip)
+    vq, vs, vz = quantize_pack_kv(v4, vc_clip)
+    kpar = jnp.concatenate([ks, kz], -1).transpose(0, 2, 1, 3)
+    vpar = jnp.concatenate([vs, vz], -1).transpose(0, 2, 1, 3)
+    return (q.reshape(B, S, nh * hd).astype(qkv.dtype),
+            k.reshape(B, S, nkv * hd).astype(qkv.dtype),
+            v.astype(qkv.dtype),
+            kq.transpose(0, 2, 1, 3), kpar,
+            vq.transpose(0, 2, 1, 3), vpar)

@@ -342,11 +342,11 @@ def serving_layer_int4cache(
                               compute_dtype, fq_cfg.a_cfg.q_max)
              if (use_kernel and fq_cfg.a_cfg.enabled and tp_axis is None)
              else None)
+    qkv3 = None
     if qkv_g is not None:
-        qkv = qkv_g.reshape(B, S, qkv_g.shape[-1])
+        qkv3 = qkv_g.reshape(B, S, qkv_g.shape[-1])
         if sl.get("bqkv") is not None:
-            qkv = qkv + sl["bqkv"].astype(qkv.dtype)
-        q, k, v = jnp.split(qkv, [cfg.q_dim, cfg.q_dim + cfg.kv_dim], axis=-1)
+            qkv3 = qkv3 + sl["bqkv"].astype(qkv3.dtype)
     else:
         h = rms_norm(x, sl["ln1_w"], cfg.rms_eps)
         if "ln_tp" in sl:  # one-copy transposed-output form (perm weights)
@@ -354,13 +354,31 @@ def serving_layer_int4cache(
         elif "ln_t" in sl:
             h = kron_transform(h, sl["ln_t"])
         if "qkv" in sl:
-            qkv = qlin(h, sl["qkv"], sl.get("bqkv"))
-            q, k, v = jnp.split(qkv, [cfg.q_dim, cfg.q_dim + cfg.kv_dim],
-                                axis=-1)
+            qkv3 = qlin(h, sl["qkv"], sl.get("bqkv"))
         else:
             q = qlin(h, sl["q"], sl.get("bq"))
             k = qlin(h, sl["k"], sl.get("bk"))
             v = qlin(h, sl["v"], sl.get("bv"))
+
+    # ---- fused attention prologue + fused o path (prefill) ----
+    # one Pallas pass for split+rope+k-transforms+KV-quant-pack
+    # (kernels/attn_prologue.py) and one for o-transform+quant
+    # (left_quant_i8_flat) — replaces ~230 us/layer of XLA layout chains
+    if (qkv3 is not None and use_kernel and phase == "prefill"
+            and hd == 128 and S % 128 == 0 and S >= 256
+            and getattr(pos, "ndim", 0) == 0 and "k_t" in sl
+            and sl.get("o_t") is not None and sl["o_t"].shape[-1] == nh
+            and "wp" in sl["o"] and fq_cfg.a_cfg.enabled
+            and fq_cfg.a_cfg.q_max == 7 and tp_axis is None):
+        x, kp, kparam, vp, vparam = _fused_prefill_attention(
+            cfg, fq_cfg, sl, x, qkv3, cos, sin, kp, kparam, vp, vparam,
+            pos, use_kernel, compute_dtype)
+        return _int4cache_mlp(cfg, fq_cfg, sl, x, use_kernel, compute_dtype,
+                              tp_axis, qlin) + (kp, kparam, vp, vparam)
+
+    if qkv3 is not None:
+        q, k, v = jnp.split(qkv3, [cfg.q_dim, cfg.q_dim + cfg.kv_dim],
+                            axis=-1)
     q = q.reshape(B, S, nh, hd)
     k = k.reshape(B, S, nkv, hd)
     v = v.reshape(B, S, nkv, hd)
@@ -473,18 +491,41 @@ def serving_layer_int4cache(
     attn = attn.reshape(B, S, nh * hd)
     x = x + qlin(attn, sl["o"], axis=tp_axis)
 
+    return _int4cache_mlp(cfg, fq_cfg, sl, x, use_kernel, compute_dtype,
+                          tp_axis, qlin) + (kp, kparam, vp, vparam)
+
+
+def _int4cache_mlp(cfg, fq_cfg, sl, x, use_kernel, compute_dtype, tp_axis,
+                   qlin):
+    """The MLP half of a serving layer; returns (x_out,) so callers can
+    append their cache state."""
+    from flatquant_tpu.serving.quantized import (
+        _quant_mlp_grouped,
+        _quant_mlp_grouped_full,
+        _quant_swiglu,
+        kron_transform,
+        kron_transform_perm,
+    )
+
+    H = x.shape[-1]
     y_full = (_quant_mlp_grouped_full(x.reshape(-1, H), sl, cfg.rms_eps,
                                       compute_dtype, fq_cfg.a_cfg.q_max)
               if (use_kernel and fq_cfg.a_cfg.enabled and tp_axis is None)
               else None)
     if y_full is not None:
-        # fully-grouped MLP (tpu_decompose; quantized._quant_mlp_grouped_full)
-        return x + y_full.reshape(x.shape), kp, kparam, vp, vparam
+        # fully-fused MLP (tpu_decompose; quantized._quant_mlp_grouped_full)
+        return (x + y_full.reshape(x.shape),)
     h2 = rms_norm(x, sl["ln2_w"], cfg.rms_eps)
     if "ug_tp" in sl:
         h2 = kron_transform_perm(h2, sl["ug_tp"])
     elif "ug_t" in sl:
         h2 = kron_transform(h2, sl["ug_t"])
+    y_mlp = (_quant_mlp_grouped(h2.reshape(-1, h2.shape[-1]), sl,
+                                compute_dtype, fq_cfg.a_cfg.q_max)
+             if (use_kernel and fq_cfg.a_cfg.enabled and tp_axis is None)
+             else None)
+    if y_mlp is not None:
+        return (x + y_mlp.reshape(h2.shape[:-1] + (y_mlp.shape[-1],)),)
     if "upgate" in sl:
         act = _quant_swiglu(h2.reshape(-1, h2.shape[-1]), sl["upgate"],
                             use_kernel, compute_dtype,
@@ -498,8 +539,54 @@ def serving_layer_int4cache(
         act = kron_transform_perm(act, sl["down_tp"])
     elif "down_t" in sl:
         act = kron_transform(act, sl["down_t"])
-    x = x + qlin(act, sl["down"], axis=tp_axis)
-    return x, kp, kparam, vp, vparam
+    return (x + qlin(act, sl["down"], axis=tp_axis),)
+
+
+def _fused_prefill_attention(cfg, fq_cfg, sl, x, qkv3, cos, sin, kp, kparam,
+                             vp, vparam, pos, use_kernel, compute_dtype):
+    """Prefill attention through the fused prologue + fused o path.
+
+    qkv3: the merged-projection output [B, S, (nh + 2*nkv)*128]. Writes
+    the packed int4 K/V into the v4 cache at `pos`, attends unquantized
+    via flash (reference prefill trick), and runs the o-transform + quant
+    as one left_quant_i8_flat pass (the o head-mixing is a left Kronecker
+    factor with identity right factor). Returns (x_out, kp, kparam, vp,
+    vparam)."""
+    from flatquant_tpu.kernels.attn_prologue import attn_prologue
+    from flatquant_tpu.kernels.flat_pipeline import left_quant_i8_flat
+    from flatquant_tpu.kernels.int4_matmul import w4a4_matmul_i8
+    from flatquant_tpu.kernels.prefill_attention import prefill_attention
+
+    B, S, _ = qkv3.shape
+    nh, nkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    cos_s = jax.lax.dynamic_slice_in_dim(cos, pos, S, axis=0)
+    sin_s = jax.lax.dynamic_slice_in_dim(sin, pos, S, axis=0)
+    qf, kf, vf, kq_c, kpar_c, vq_c, vpar_c = attn_prologue(
+        qkv3, cos_s, sin_s, sl["k_t"], sl["k_t_inv"],
+        sl.get("kc_clip"), sl.get("vc_clip"), nh=nh, nkv=nkv)
+    # token-major codes/params -> the v4 transposed cache layout (cheap
+    # u8/f32 transposes instead of the bf16 relayouts they replace)
+    kp = jax.lax.dynamic_update_slice_in_dim(
+        kp, jnp.transpose(kq_c, (0, 1, 3, 2)), pos, axis=3)
+    kparam = jax.lax.dynamic_update_slice_in_dim(
+        kparam, jnp.transpose(kpar_c, (0, 1, 3, 2)), pos, axis=3)
+    vp = jax.lax.dynamic_update_slice_in_dim(
+        vp, jnp.transpose(vq_c, (0, 1, 3, 2)), pos, axis=3)
+    vparam = jax.lax.dynamic_update_slice_in_dim(
+        vparam, jnp.transpose(vpar_c, (0, 1, 3, 2)), pos, axis=3)
+
+    sm_scale = 1.0 / float(np.sqrt(hd))
+    attn = prefill_attention(
+        qf.reshape(B, S, nh, hd), kf.reshape(B, S, nkv, hd),
+        vf.reshape(B, S, nkv, hd), sm_scale, use_kernel, compute_dtype)
+    # o path: head mixing (einsum ji,...) == left factor o_t.T; quant scale
+    # rule identical to the serving XLA chain
+    zq, zs = left_quant_i8_flat(
+        sl["o_t"].T, attn.reshape(B * S, nh * hd).astype(jnp.bfloat16),
+        clip=sl["o"].get("a_clip"), q_max=fq_cfg.a_cfg.q_max)
+    y = w4a4_matmul_i8(zq, zs, sl["o"]["wp"], sl["o"]["scale"],
+                       compute_dtype)
+    return x + y.reshape(B, S, -1), kp, kparam, vp, vparam
 
 
 def _last_hidden(x, last_idx):

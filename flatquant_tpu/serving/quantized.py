@@ -466,11 +466,16 @@ def _act_codes_i8(x2d, clip, a_q_max: int):
 
 
 def _quant_mlp_grouped(x2d, sl, out_dtype=jnp.bfloat16, a_q_max: int = 7):
-    """Relayout-free MLP tail: upgate GEMM + silu + Kronecker right factor
-    in one kernel (grouped [G, T, 128] output), left factor as a clean 2D
-    matmul, grouped quant, grouped down GEMM (kernels/grouped_mlp.py).
-    Device rationale: the standard layout pays ~250 us/layer of XLA
-    batched-matmul relayout copies around the down-kron left contraction.
+    """Fused MLP tail on the FLAT pipeline (kernels/flat_pipeline.py):
+    upgate GEMM + silu + the down transform's Kronecker right factor in
+    one kernel epilogue, then left factor + per-token quant in one pass,
+    then the flat int8-MXU down GEMM. Round 2's grouped [G, T, 128] HBM
+    layout was superseded after device profiling: the grouped down GEMM
+    ran 657 us vs a 514 us roofline (small blocks -> 16x weight re-reads)
+    and the grouped left-quant DMA'd G strided tile planes (335 GB/s);
+    flat blocks restore (512, 1024) GEMM tiling and contiguous rows while
+    keeping every fusion (the grouped<->flat conversion moves inside the
+    kernels as free tile placement).
 
     x2d: post-ln2/ug-transform hidden [T, K]. Returns the down output
     [T, K], or None when the shape/config doesn't qualify (caller then
@@ -480,66 +485,60 @@ def _quant_mlp_grouped(x2d, sl, out_dtype=jnp.bfloat16, a_q_max: int = 7):
             and x2d.shape[0] >= 256 and a_q_max == 7):
         return None
     left, right = sl["down_t"]
-    g_n = left.shape[0]
     if right.shape[0] != 128:
         return None
-    from flatquant_tpu.kernels.grouped_mlp import (
-        left_quant_i8_grouped,
-        w4a4_matmul_i8_grouped,
-        w4a4_swiglu_grouped,
+    from flatquant_tpu.kernels.flat_pipeline import (
+        left_quant_i8_flat,
+        w4a4_matmul_i8_swiglu_right,
     )
 
     xq, xs = _act_codes_i8(x2d, sl["upgate"].get("a_clip"), a_q_max)
     ug = sl["upgate"]
-    yg = w4a4_swiglu_grouped(xq, xs, ug["wp"], ug["scale"], right)
-    # left contraction fused into the quant kernel: an XLA-side 2D matmul
-    # here pays a 3D<->2D relayout copy on one side (~230 us/layer traced)
+    yf = w4a4_matmul_i8_swiglu_right(xq, xs, ug["wp"], ug["scale"], right)
     dn = sl["down"]
-    zq, zs = left_quant_i8_grouped(left.T, yg, clip=dn.get("a_clip"),
-                                   q_max=a_q_max)
-    return w4a4_matmul_i8_grouped(zq, zs, dn["wp"], dn["scale"], out_dtype)
+    zq, zs = left_quant_i8_flat(left.T, yf, clip=dn.get("a_clip"),
+                                q_max=a_q_max)
+    return w4a4_matmul_i8(zq, zs, dn["wp"], dn["scale"], out_dtype)
 
 
-def _grouped_ln_quant(x2d, ln_w, pair, clip, eps: float, a_q_max: int):
-    """rms_norm + full Kronecker transform + per-token quant, entirely in
-    the grouped [G, T, 128] layout (requires the transform's right factor
-    to be 128x128 — the --tpu_decompose calibration mode)."""
-    from flatquant_tpu.kernels.grouped_mlp import (
-        left_quant_i8_grouped,
-        rmsnorm_right_grouped,
+def _flat_ln_quant(x2d, ln_w, pair, clip, eps: float, a_q_max: int):
+    """rms_norm + full Kronecker transform + per-token quant in two fused
+    flat-layout kernels (requires the transform's right factor to be
+    128x128 — the --tpu_decompose calibration mode)."""
+    from flatquant_tpu.kernels.flat_pipeline import (
+        left_quant_i8_flat,
+        rmsnorm_right_flat,
     )
 
     left, right = pair
-    hg = rmsnorm_right_grouped(x2d, ln_w, right, eps)
-    return left_quant_i8_grouped(left.T, hg, clip=clip, q_max=a_q_max)
+    hf = rmsnorm_right_flat(x2d, ln_w, right, eps)
+    return left_quant_i8_flat(left.T, hf, clip=clip, q_max=a_q_max)
 
 
 def _grouped_attn_in(x2d, sl, eps: float, out_dtype=jnp.bfloat16,
                      a_q_max: int = 7):
-    """Grouped attention input path: ln1 + ln-transform + quant + merged
-    qkv GEMM without ever materializing the flat transformed layout.
-    Returns qkv [T, q_dim + 2*kv_dim] or None when the config doesn't
-    qualify (caller composes the standard path)."""
+    """Fused attention input path: ln1 + ln-transform + quant (flat
+    pipeline) + merged qkv int8-MXU GEMM. Returns qkv
+    [T, q_dim + 2*kv_dim] or None when the config doesn't qualify
+    (caller composes the standard path)."""
     if not ("qkv" in sl and "ln_t" in sl and "wp" in sl["qkv"]
             and x2d.shape[0] >= 256 and a_q_max == 7):
         return None
     left, right = sl["ln_t"]
     if right.shape[0] != 128:
         return None
-    from flatquant_tpu.kernels.grouped_mlp import w4a4_matmul_i8_grouped
-
-    xq_g, xs = _grouped_ln_quant(x2d, sl["ln1_w"], sl["ln_t"],
-                                 sl["qkv"].get("a_clip"), eps, a_q_max)
-    return w4a4_matmul_i8_grouped(xq_g, xs, sl["qkv"]["wp"],
-                                  sl["qkv"]["scale"], out_dtype)
+    xq, xs = _flat_ln_quant(x2d, sl["ln1_w"], sl["ln_t"],
+                            sl["qkv"].get("a_clip"), eps, a_q_max)
+    return w4a4_matmul_i8(xq, xs, sl["qkv"]["wp"], sl["qkv"]["scale"],
+                          out_dtype)
 
 
 def _quant_mlp_grouped_full(x2d, sl, eps: float, out_dtype=jnp.bfloat16,
                             a_q_max: int = 7):
-    """End-to-end grouped MLP: ln2 + ug-transform + quant + swiglu upgate
-    GEMM (+ down right factor) + left+quant + down GEMM — zero flat-layout
-    materializations. Requires --tpu_decompose (both transforms' right
-    factors 128x128). Returns the down output [T, H] or None."""
+    """End-to-end fused MLP: ln2 + ug-transform + quant + swiglu upgate
+    GEMM (+ down right factor) + left+quant + down GEMM, all on the flat
+    pipeline. Requires --tpu_decompose (both transforms' right factors
+    128x128). Returns the down output [T, H] or None."""
     if not ("upgate" in sl and "down" in sl and "down_t" in sl
             and "ug_t" in sl and "wp" in sl["upgate"] and "wp" in sl["down"]
             and x2d.shape[0] >= 256 and a_q_max == 7):
@@ -548,20 +547,19 @@ def _quant_mlp_grouped_full(x2d, sl, eps: float, out_dtype=jnp.bfloat16,
     dn_l, dn_r = sl["down_t"]
     if ug_r.shape[0] != 128 or dn_r.shape[0] != 128:
         return None
-    from flatquant_tpu.kernels.grouped_mlp import (
-        left_quant_i8_grouped,
-        w4a4_matmul_i8_grouped,
-        w4a4_swiglu_grouped_gx,
+    from flatquant_tpu.kernels.flat_pipeline import (
+        left_quant_i8_flat,
+        w4a4_matmul_i8_swiglu_right,
     )
 
     ug = sl["upgate"]
     dn = sl["down"]
-    xq_g, xs = _grouped_ln_quant(x2d, sl["ln2_w"], sl["ug_t"],
-                                 ug.get("a_clip"), eps, a_q_max)
-    yg = w4a4_swiglu_grouped_gx(xq_g, xs, ug["wp"], ug["scale"], dn_r)
-    zq, zs = left_quant_i8_grouped(dn_l.T, yg, clip=dn.get("a_clip"),
-                                   q_max=a_q_max)
-    return w4a4_matmul_i8_grouped(zq, zs, dn["wp"], dn["scale"], out_dtype)
+    xq, xs = _flat_ln_quant(x2d, sl["ln2_w"], sl["ug_t"],
+                            ug.get("a_clip"), eps, a_q_max)
+    yf = w4a4_matmul_i8_swiglu_right(xq, xs, ug["wp"], ug["scale"], dn_r)
+    zq, zs = left_quant_i8_flat(dn_l.T, yf, clip=dn.get("a_clip"),
+                                q_max=a_q_max)
+    return w4a4_matmul_i8(zq, zs, dn["wp"], dn["scale"], out_dtype)
 
 
 def quantize_kv_asym(t, clip=None, q_max: int = 15):

@@ -47,12 +47,15 @@ def main():
     ap.add_argument("--batch", type=int, default=1)
     ap.add_argument("--iters", type=int, default=4)
     ap.add_argument("--top", type=int, default=40)
+    ap.add_argument("--tpu_decompose", action="store_true",
+                    help="rn128 transform split: grouped Pallas front-ends "
+                         "cover attn-in and the full MLP")
     args = ap.parse_args()
 
     cfg = dataclasses.replace(
         get_config("llama-2-7b"), name="bench", num_layers=2, vocab_size=2048
     )
-    fq_cfg = W4A4KV4
+    fq_cfg = dataclasses.replace(W4A4KV4, tpu_decompose=args.tpu_decompose)
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):
         params = init_params(cfg, seed=0)
