@@ -186,6 +186,21 @@ def main():
         t0 = time.perf_counter(); float(bf16_prefill_loop(bp, ptoks0, cache_pb))
         tpb = min(tpb, (time.perf_counter() - t0) / N_PRE)
 
+    # per-kernel roofline table (VERDICT r2 item 8): achieved vs this
+    # chip's measured practical ceilings, recorded every round so kernel
+    # regressions are visible in BENCH_r{N}.json
+    try:
+        import os
+        import sys as _sys
+
+        _sys.path.insert(0, os.path.join(os.path.dirname(
+            os.path.abspath(__file__)), "benchmarks"))
+        from roofline_report import collect_rooflines
+
+        rooflines = collect_rooflines()
+    except Exception as e:  # bench must still emit its metric line
+        rooflines = {"error": f"{type(e).__name__}: {str(e)[:160]}"}
+
     t_quant = min(tq)
     t_bf16 = min(tb)
     speedup = t_bf16 / t_quant
@@ -206,6 +221,7 @@ def main():
                     "prefill2048_quant_ms": round(tpq * 1e3, 3),
                     "prefill2048_bf16_ms": round(tpb * 1e3, 3),
                     "prefill_speedup": round(tpb / tpq, 4),
+                    "rooflines": rooflines,
                 },
             }
         )

@@ -68,6 +68,16 @@ def _quant_pack_head(tf, cmax, cmin):
 def _attn_prologue_kernel(qkv_ref, cos_ref, sin_ref, rot_ref, kt_ref,
                           kti_ref, clip_ref, q_ref, k_ref, v_ref, kq_ref,
                           kp_ref, vq_ref, vp_ref, *, nh, nkv):
+    """All heads batched into single MXU dots on grouped [g*bt, 128] views.
+
+    The first version looped heads with [bt, 128] x [128, 128] dots —
+    128 tiny MXU issues per grid step, device-traced at 398 us/layer
+    (2026-08-20). The head transforms (rot, kt, kti) are the SAME matrix
+    for every head, so grouping lane blocks onto the leading axis (tile
+    placement, the left_quant_i8_flat idiom) turns them into 6 large
+    dots per grid step and vectorizes quant across all (head, token)
+    rows at once."""
+    bt = cos_ref.shape[0]
     cos = cos_ref[:]  # [bt, 128] bf16
     sin = sin_ref[:]
     rot = rot_ref[:]  # signed half-rotation permutation (see wrapper)
@@ -76,7 +86,22 @@ def _attn_prologue_kernel(qkv_ref, cos_ref, sin_ref, rot_ref, kt_ref,
     qoff = nh * 128
     voff = (nh + nkv) * 128
 
-    def rope(x):
+    def grouped(base, g):
+        # [bt, g*128] lane groups -> [g*bt, 128]: tile placement + a
+        # leading-dim collapse (no lane-crossing reshape)
+        return jnp.concatenate(
+            [qkv_ref[0, :, base + i * 128:base + (i + 1) * 128][None]
+             for i in range(g)], axis=0).reshape(g * bt, 128)
+
+    def ungroup(x2, g, out_ref):
+        # [g*bt, 128] -> [bt, g*128] lane placement into the flat output
+        x3 = x2.reshape(g, bt, 128)
+        out_ref[0] = jnp.concatenate([x3[i] for i in range(g)], axis=1)
+
+    def tile_rows(t, g):
+        return jnp.broadcast_to(t[None], (g, bt, 128)).reshape(g * bt, 128)
+
+    def rope_all(x, g):
         # x*cos + rotate_half(x)*sin, bf16 (matches models.llama.apply_rope).
         # rotate_half runs on the MXU as a +-1 permutation matrix — exact
         # (single-product f32 accumulation), and supported where Mosaic's
@@ -84,32 +109,30 @@ def _attn_prologue_kernel(qkv_ref, cos_ref, sin_ref, rot_ref, kt_ref,
         rx = jax.lax.dot_general(
             x, rot, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32).astype(x.dtype)
-        return x * cos + rx * sin
+        return x * tile_rows(cos, g) + rx * tile_rows(sin, g)
 
-    for h in range(nh):
-        qh = qkv_ref[0, :, h * 128:(h + 1) * 128]
-        qr = jax.lax.dot_general(
-            rope(qh), kti, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32).astype(q_ref.dtype)
-        q_ref[0, :, h * 128:(h + 1) * 128] = qr
-    for h in range(nkv):
-        kh = qkv_ref[0, :, qoff + h * 128:qoff + (h + 1) * 128]
-        kr = jax.lax.dot_general(
-            rope(kh), kt, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32).astype(k_ref.dtype)
-        k_ref[0, :, h * 128:(h + 1) * 128] = kr
-        byte, scale, zero = _quant_pack_head(
-            kr.astype(jnp.float32), clip_ref[0, 0], clip_ref[0, 1])
-        kq_ref[0, h] = byte
-        kp_ref[0, h, :, 0:1] = scale
-        kp_ref[0, h, :, 1:2] = zero
-        vh = qkv_ref[0, :, voff + h * 128:voff + (h + 1) * 128]
-        v_ref[0, :, h * 128:(h + 1) * 128] = vh
-        byte, scale, zero = _quant_pack_head(
-            vh.astype(jnp.float32), clip_ref[0, 2], clip_ref[0, 3])
-        vq_ref[0, h] = byte
-        vp_ref[0, h, :, 0:1] = scale
-        vp_ref[0, h, :, 1:2] = zero
+    qr = jax.lax.dot_general(
+        rope_all(grouped(0, nh), nh), kti, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(q_ref.dtype)
+    ungroup(qr, nh, q_ref)
+
+    kr = jax.lax.dot_general(
+        rope_all(grouped(qoff, nkv), nkv), kt, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(k_ref.dtype)
+    ungroup(kr, nkv, k_ref)
+    byte, scale, zero = _quant_pack_head(
+        kr.astype(jnp.float32), clip_ref[0, 0], clip_ref[0, 1])
+    kq_ref[0] = byte.reshape(nkv, bt, 64)
+    kp_ref[0, :, :, 0:1] = scale.reshape(nkv, bt, 1)
+    kp_ref[0, :, :, 1:2] = zero.reshape(nkv, bt, 1)
+
+    vg = grouped(voff, nkv)
+    ungroup(vg, nkv, v_ref)
+    byte, scale, zero = _quant_pack_head(
+        vg.astype(jnp.float32), clip_ref[0, 2], clip_ref[0, 3])
+    vq_ref[0] = byte.reshape(nkv, bt, 64)
+    vp_ref[0, :, :, 0:1] = scale.reshape(nkv, bt, 1)
+    vp_ref[0, :, :, 1:2] = zero.reshape(nkv, bt, 1)
 
 
 @functools.partial(
@@ -203,6 +226,10 @@ def attn_prologue(qkv, cos, sin, k_t, k_t_inv, kc_clip=None, vc_clip=None,
             bytes_accessed=B * S * D * 2 * 2 + B * S * nkv * hd + 16 * B * S,
             transcendentals=0,
         ),
+        # the batched-heads body holds [g*bt, 128] f32 intermediates for
+        # all heads at once; bt=128 needs ~20 MB scoped VMEM (v5e has 128)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 2**20),
         interpret=resolve_interpret(interpret),
     )(qkv, cos_b, sin_b, rot, k_t.astype(jnp.bfloat16),
       k_t_inv.astype(jnp.bfloat16), clip_arr)

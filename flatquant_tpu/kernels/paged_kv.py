@@ -1,0 +1,260 @@
+"""Block-table (paged) int4 KV cache: pool storage + paged flash-decode.
+
+The reference grows page tensors on demand (deploy/transformers/
+kv_cache.py:206-225) with a uniform-page-count-per-batch restriction
+(kv_cache.py:367-368). The TPU-native analog keeps every shape static:
+
+  - one POOL of fixed-size blocks per layer, shared by all batch slots:
+      codes  [n_blocks, nkv, hd/2, bs] uint8   (v4 lane-full layout per
+      params [n_blocks, nkv, 2,    bs] fp32     block: token idx on lanes)
+  - a per-slot BLOCK TABLE [B, max_blocks] int32 of pool indices, managed
+    on the host (serving/paged.py BlockAllocator); HBM cost is
+    proportional to *allocated* blocks, not slots x max_len
+  - the decode kernel gathers blocks through the table with scalar-
+    prefetch index maps: grid (B, nkv, max_blocks), block s of slot b
+    fetches pool block table[b, s]. Table entries past the slot's last
+    valid block are CLAMPED to the last valid index — Pallas elides the
+    DMA when consecutive grid steps map to the same block, so unused
+    table tail entries cost neither bandwidth nor (masked) flops beyond
+    one revisit of an already-resident block.
+
+Numerics are identical to kernels/kv_cache.py v4 (same asym-int4
+quantization, same algebraic-dequant online softmax), so slot-cache and
+paged-cache serving agree bit-for-bit; tested in tests/test_paged_kv.py.
+
+Block-size tradeoff (device-measured in kv_cache.py's block sweep): the
+per-grid-step overhead dominates below ~2048 tokens/block, so a single
+long sequence decodes slower through 256-token pages than through the
+monolithic v4 slot cache. Paging wins on MEMORY (mixed-length batches
+share the pool; a finished request's blocks free immediately) and on
+mixed batches (the slot cache DMAs all S rows for every slot; the paged
+kernel reads only allocated blocks). serving/paged.py documents the
+crossover; both cache modes stay first-class.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+from flatquant_tpu.kernels.common import resolve_interpret
+from flatquant_tpu.kernels.kv_cache import (
+    pack_kv_transposed,
+    untranspose_kv,
+)
+from jax.experimental.pallas import tpu as pltpu
+
+
+def init_paged_pool(num_layers: int, n_blocks: int, nkv: int, hd: int,
+                    block_size: int):
+    """The shared block pool (all layers; block 0 is the sacrificial
+    'trash' block that unallocated table entries point at)."""
+    assert block_size % 128 == 0, "token lanes must tile (v4 layout)"
+    return {
+        "kp": jnp.zeros((num_layers, n_blocks, nkv, hd // 2, block_size),
+                        jnp.uint8),
+        "kparam": jnp.zeros((num_layers, n_blocks, nkv, 2, block_size),
+                            jnp.float32),
+        "vp": jnp.zeros((num_layers, n_blocks, nkv, hd // 2, block_size),
+                        jnp.uint8),
+        "vparam": jnp.zeros((num_layers, n_blocks, nkv, 2, block_size),
+                            jnp.float32),
+    }
+
+
+# ---------------------------------------------------------------------------
+# pool writes (XLA scatters — static shapes, leading-axis indices)
+# ---------------------------------------------------------------------------
+
+
+def write_prompt_paged(pool_c, pool_p, codes, params, tbl):
+    """Scatter a prompt's packed K or V into the pool.
+
+    pool_c [nb, nkv, hd/2, bs]; pool_p [nb, nkv, 2, bs];
+    codes [B, nkv, hd/2, S]; params [B, nkv, 2, S] (v4 transposed layout,
+    from pack_kv_transposed); tbl [B, max_blocks] int32. S tokens start
+    at position 0 and may end mid-block (static tail update). S need not
+    be a block multiple."""
+    B = codes.shape[0]
+    bs = pool_c.shape[-1]
+    S = codes.shape[-1]
+    nb_full, tail = divmod(S, bs)
+    for j in range(nb_full):
+        blk = tbl[:, j]  # [B]
+        pool_c = pool_c.at[blk].set(codes[..., j * bs:(j + 1) * bs])
+        pool_p = pool_p.at[blk].set(params[..., j * bs:(j + 1) * bs])
+    if tail:
+        blk = tbl[:, nb_full]
+        pool_c = pool_c.at[blk, :, :, :tail].set(codes[..., nb_full * bs:])
+        pool_p = pool_p.at[blk, :, :, :tail].set(params[..., nb_full * bs:])
+    return pool_c, pool_p
+
+
+def write_token_paged(pool_c, pool_p, codes1, params1, tbl, pos):
+    """Write one decode token per slot.
+
+    codes1 [B, nkv, hd/2]; params1 [B, nkv, 2]; tbl [B, max_blocks];
+    pos [B] int32 (the token's position). Slot b writes pool block
+    tbl[b, pos//bs] lane pos%bs."""
+    bs = pool_c.shape[-1]
+    B = codes1.shape[0]
+    blk = tbl[jnp.arange(B), pos // bs]  # [B]
+    off = pos % bs
+    pool_c = pool_c.at[blk, :, :, off].set(codes1)
+    pool_p = pool_p.at[blk, :, :, off].set(params1)
+    return pool_c, pool_p
+
+
+# ---------------------------------------------------------------------------
+# paged decode attention (Pallas, v4 math through the block table)
+# ---------------------------------------------------------------------------
+
+
+def _paged_decode_kernel(tbl_ref, valid_ref, q_ref, kp_ref, kpar_ref, vp_ref,
+                         vpar_ref, o_ref, m_ref, l_ref, acc_ref, zacc_ref, *,
+                         sm_scale, bs):
+    """Grid (B, nkv, max_blocks), blocks innermost (sequential). Data
+    blocks arrive already gathered through the table by the index maps;
+    this body is the v4 online-softmax step with sequence ids derived
+    from the LOGICAL block index (program_id), not the pool index."""
+    b = pl.program_id(0)
+    si = pl.program_id(2)
+    n_blk = pl.num_programs(2)
+    valid = valid_ref[b]
+
+    @pl.when(si == 0)
+    def _init():
+        m_ref[...] = jnp.full_like(m_ref, -1e30)
+        l_ref[...] = jnp.zeros_like(l_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+        zacc_ref[...] = jnp.zeros_like(zacc_ref)
+
+    # skip compute entirely for table tail entries (their DMA was elided
+    # by the clamped index map; scores would be fully masked anyway)
+    @pl.when(si * bs < valid)
+    def _step():
+        q = q_ref[0, 0].astype(jnp.float32)  # [n_rep, hd]
+        qsum = jnp.sum(q, axis=1, keepdims=True)
+
+        kp = kp_ref[0, 0].astype(jnp.int32)  # [hd/2, bs]
+        ck = jnp.concatenate([kp & 0xF, kp >> 4], axis=0).astype(jnp.float32)
+        raw = jax.lax.dot_general(
+            q, ck, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        ksc = kpar_ref[0, 0, 0:1, :]
+        kzr = kpar_ref[0, 0, 1:2, :]
+        sc = (raw - qsum * kzr) * ksc * sm_scale
+        ids = si * bs + jax.lax.broadcasted_iota(jnp.int32, (1, bs), 1)
+        sc = jnp.where(ids < valid, sc, -jnp.inf)
+
+        m_prev = m_ref[...]
+        m_new = jnp.maximum(
+            jnp.maximum(m_prev, jnp.max(sc, axis=1, keepdims=True)), -1e30)
+        p = jnp.exp(sc - m_new)
+        corr = jnp.exp(m_prev - m_new)
+        m_ref[...] = m_new
+        l_ref[...] = l_ref[...] * corr + jnp.sum(p, axis=1, keepdims=True)
+
+        vsc = vpar_ref[0, 0, 0:1, :]
+        vzr = vpar_ref[0, 0, 1:2, :]
+        p_s = p * vsc
+        vp = vp_ref[0, 0].astype(jnp.int32)
+        cv = jnp.concatenate([vp & 0xF, vp >> 4], axis=0).astype(jnp.float32)
+        pv = jax.lax.dot_general(
+            p_s, cv, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        acc_ref[...] = acc_ref[...] * corr + pv
+        zacc_ref[...] = zacc_ref[...] * corr + jnp.sum(
+            p_s * vzr, axis=1, keepdims=True)
+
+    @pl.when(si == n_blk - 1)
+    def _fin():
+        l = jnp.maximum(l_ref[...], 1e-30)
+        o_ref[0, 0] = ((acc_ref[...] - zacc_ref[...]) / l).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("sm_scale", "interpret"))
+def paged_decode_attention_int4(q, kp, kparam, vp, vparam, tbl, valid_len,
+                                sm_scale: float, interpret: bool = None):
+    """Fused int4 flash-decode over the block pool.
+
+    q [B, nh, hd] (already rotated into K space); kp/vp
+    [nb, nkv, hd/2, bs] uint8 pools; kparam/vparam [nb, nkv, 2, bs] fp32;
+    tbl [B, max_blocks] int32; valid_len [B] int32. Returns [B, nh, hd].
+
+    Unallocated table tails are clamped to the slot's last valid block in
+    the index map, so their fetches are elided (consecutive identical
+    block indices) and their grid steps skip compute (pl.when).
+    """
+    nb, nkv, hdh, bs = kp.shape
+    hd = hdh * 2
+    B, nh, _ = q.shape
+    n_rep = nh // nkv
+    mb = tbl.shape[1]
+    qg = q.reshape(B, nkv, n_rep, hd)
+
+    def blk_idx(b, h, s, tbl_ref, valid_ref):
+        last = jnp.maximum(valid_ref[b] - 1, 0) // bs
+        return (tbl_ref[b, jnp.minimum(s, last)], h, 0, 0)
+
+    out = pl.pallas_call(
+        functools.partial(_paged_decode_kernel, sm_scale=sm_scale, bs=bs),
+        out_shape=jax.ShapeDtypeStruct((B, nkv, n_rep, hd), q.dtype),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(B, nkv, mb),
+            in_specs=[
+                pl.BlockSpec((1, 1, n_rep, hd),
+                             lambda b, h, s, *_: (b, h, 0, 0)),
+                pl.BlockSpec((1, 1, hdh, bs), blk_idx),
+                pl.BlockSpec((1, 1, 2, bs), blk_idx),
+                pl.BlockSpec((1, 1, hdh, bs), blk_idx),
+                pl.BlockSpec((1, 1, 2, bs), blk_idx),
+            ],
+            out_specs=pl.BlockSpec((1, 1, n_rep, hd),
+                                   lambda b, h, s, *_: (b, h, 0, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((n_rep, 1), jnp.float32),   # m
+                pltpu.VMEM((n_rep, 1), jnp.float32),   # l
+                pltpu.VMEM((n_rep, hd), jnp.float32),  # acc
+                pltpu.VMEM((n_rep, 1), jnp.float32),   # zacc
+            ],
+        ),
+        interpret=resolve_interpret(interpret),
+    )(tbl.astype(jnp.int32), valid_len.astype(jnp.int32), qg,
+      kp, kparam, vp, vparam)
+    return out.reshape(B, nh, hd)
+
+
+def gather_kv_paged(pool_c, pool_p, tbl):
+    """Assemble the v4 slot-cache view [B, nkv, hd/2, mb*bs] from the pool
+    (XLA reference path / CPU tests)."""
+    g_c = pool_c[tbl]  # [B, mb, nkv, hd/2, bs]
+    g_p = pool_p[tbl]
+    B, mb, nkv, hdh, bs = g_c.shape
+    codes = g_c.transpose(0, 2, 3, 1, 4).reshape(B, nkv, hdh, mb * bs)
+    params = g_p.transpose(0, 2, 3, 1, 4).reshape(B, nkv, 2, mb * bs)
+    return codes, params
+
+
+def paged_decode_attention_ref(q, kp, kparam, vp, vparam, tbl, valid_len,
+                               sm_scale: float):
+    """Pure-XLA oracle: gather the pool through the table, then run the
+    (untransposed) reference decode attention."""
+    from flatquant_tpu.kernels.kv_cache import decode_attention_ref
+
+    kc, kpr = gather_kv_paged(kp, kparam, tbl)
+    vc, vpr = gather_kv_paged(vp, vparam, tbl)
+    kpo, kso, kzo = untranspose_kv(kc, kpr)
+    vpo, vso, vzo = untranspose_kv(vc, vpr)
+    return decode_attention_ref(q, kpo, kso, kzo, vpo, vso, vzo,
+                                valid_len, sm_scale)
+
+
+def pack_prompt_paged(t, clip=None):
+    """pack_kv_transposed re-export for the prompt write path (kept here so
+    paged users import one module)."""
+    return pack_kv_transposed(t, clip)

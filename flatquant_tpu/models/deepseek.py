@@ -212,6 +212,19 @@ def apply_ds_rope(x, cos, sin):
     return jnp.stack([out0, out1], axis=-1).reshape(shape).astype(x.dtype)
 
 
+def _apply_ds_rope_per_slot(x, cos, sin):
+    """x [B, 1, h, d]; cos/sin [B, d/2] — one rope row per batch slot
+    (continuous-batching decode, each slot at its own position)."""
+    shape = x.shape
+    xr = x.astype(jnp.float32).reshape(shape[:-1] + (shape[-1] // 2, 2))
+    x0, x1 = xr[..., 0], xr[..., 1]
+    c = cos[:, None, None, :]
+    s = sin[:, None, None, :]
+    out0 = x0 * c - x1 * s
+    out1 = x0 * s + x1 * c
+    return jnp.stack([out0, out1], axis=-1).reshape(shape).astype(x.dtype)
+
+
 # ---------------------------------------------------------------------------
 # params
 # ---------------------------------------------------------------------------
@@ -441,8 +454,14 @@ def ds_mla(cfg: DeepSeekConfig, fq_cfg, mode, lp, fqa: Optional[MLAFQ], x, cos, 
     cache=(kv_cache [B, Smax, kv_lora], pe_cache [B, Smax, rope]) attends
     over positions [0, pos+S) and returns updated caches (the reference's
     kv_cache/pe_cache absorbed-attention path, model.py:436-441,477-492).
+
+    pos may be a per-slot [B] vector (continuous-batching decode, S == 1):
+    cos/sin are then per-slot [B, rope/2] rows and each slot attends its
+    own prefix — the same contract the Llama engine's decode step has.
     """
     B, S, _ = x.shape
+    per_slot = getattr(pos, "ndim", 0) == 1
+    assert not per_slot or S == 1, "per-slot positions only in decode"
     quant = mode != "fp" and fqa is not None
     nh = cfg.n_heads
 
@@ -473,9 +492,10 @@ def ds_mla(cfg: DeepSeekConfig, fq_cfg, mode, lp, fqa: Optional[MLAFQ], x, cos, 
 
     q = q.reshape(B, S, nh, cfg.qk_head_dim)
     q_nope = q[..., : cfg.qk_nope_head_dim]
-    q_pe = apply_ds_rope(q[..., cfg.qk_nope_head_dim :], cos, sin)
+    rope = (_apply_ds_rope_per_slot if per_slot else apply_ds_rope)
+    q_pe = rope(q[..., cfg.qk_nope_head_dim :], cos, sin)
     kv = kv_raw[..., : cfg.kv_lora_rank]
-    k_pe = apply_ds_rope(kv_raw[..., None, cfg.kv_lora_rank :], cos, sin)[..., 0, :]
+    k_pe = rope(kv_raw[..., None, cfg.kv_lora_rank :], cos, sin)[..., 0, :]
 
     # absorb: fold wkv_b's K half into q (wkv_b stays UNQUANTIZED,
     # deepseekv3_utils.py:171)
@@ -486,18 +506,26 @@ def ds_mla(cfg: DeepSeekConfig, fq_cfg, mode, lp, fqa: Optional[MLAFQ], x, cos, 
 
     if cache is not None:
         kv_cache, pe_cache = cache
-        kv_cache = jax.lax.dynamic_update_slice_in_dim(
-            kv_cache, kv.astype(kv_cache.dtype), pos, axis=1
-        )
-        pe_cache = jax.lax.dynamic_update_slice_in_dim(
-            pe_cache, k_pe.astype(pe_cache.dtype), pos, axis=1
-        )
+        if per_slot:
+            bidx = jnp.arange(B)
+            kv_cache = kv_cache.at[bidx, pos].set(
+                kv[:, 0].astype(kv_cache.dtype))
+            pe_cache = pe_cache.at[bidx, pos].set(
+                k_pe[:, 0].astype(pe_cache.dtype))
+        else:
+            kv_cache = jax.lax.dynamic_update_slice_in_dim(
+                kv_cache, kv.astype(kv_cache.dtype), pos, axis=1
+            )
+            pe_cache = jax.lax.dynamic_update_slice_in_dim(
+                pe_cache, k_pe.astype(pe_cache.dtype), pos, axis=1
+            )
         kv_att = kv_cache.astype(x.dtype)
         pe_att = pe_cache.astype(x.dtype)
         t_len = kv_cache.shape[1]
         # causal-within-window + valid-length mask
         tids = jax.lax.broadcasted_iota(jnp.int32, (1, S, 1, t_len), 3)
-        sids = jax.lax.broadcasted_iota(jnp.int32, (1, S, 1, t_len), 1) + pos
+        sids = (pos.reshape(B, 1, 1, 1) if per_slot else
+                jax.lax.broadcasted_iota(jnp.int32, (1, S, 1, t_len), 1) + pos)
         att_mask = jnp.where(tids <= sids, 0.0, -1e9)
         cache = (kv_cache, pe_cache)
     else:
@@ -1198,3 +1226,76 @@ def build_ds_serving_params(cfg: DeepSeekConfig, fq_cfg: FQConfig, params: dict,
         "moe_layers": moe_layers,
     }
     return sp, (baked_dense, baked_moe)
+
+
+# ---------------------------------------------------------------------------
+# continuous-batching engine adapter (serving/batcher.py engine_fns):
+# DeepSeek under the SAME scheduler as Llama — the reference serves DS only
+# through its bespoke generate loop (main_dpskv3.py:46-82); vLLM-style
+# batched serving of the packed model is TPU-build-only surface.
+# ---------------------------------------------------------------------------
+
+
+def ds_init_batch_cache(cfg: DeepSeekConfig, batch: int, max_len: int,
+                        dtype=jnp.bfloat16, mode: str = "bf16"):
+    """Batcher cache hook. The MLA latent caches are 512+64 floats/token —
+    already ~9x smaller than a GQA bf16 KV cache — so the bf16 latent cache
+    is the only mode (the reference caches fp16 latents too,
+    model.py:436-441). Quantizing the latent cache was evaluated and
+    documented as not worth it: kv_lora_rank=512 rows are the attention
+    GEMM's K dim, and int4 codes would force a dequant pass before the
+    absorbed einsum on every step for <3x traffic saving on an already
+    small cache."""
+    assert mode == "bf16", "DS serves the bf16 latent cache (see docstring)"
+    return init_ds_cache(cfg, batch, max_len, dtype=dtype)
+
+
+def ds_batch_forward(cfg: DeepSeekConfig, fq_cfg, spfq, tokens, cache, pos,
+                     phase, use_kernel, max_len, compute_dtype=jnp.bfloat16,
+                     last_idx=None, mode: str = "serve"):
+    """Batcher forward hook: prefill (scalar pos) and decode (scalar or
+    per-slot [B] pos) over the absorbed-MLA latent caches.
+
+    spfq = {"params": serving or raw params, "fq": (dense_fq, moe_fq) or
+    None}; mode follows deepseek_forward ("serve" = packed int4 weights
+    from build_ds_serving_params; moe_impl="auto" picks the capacity-
+    gather expert path for large prefills and the dense-masked path for
+    decode — ds_layer:769-778)."""
+    sp, fq = spfq["params"], spfq["fq"]
+    B, S = tokens.shape
+    x = sp["embed"][tokens].astype(compute_dtype)
+    cos_full, sin_full = ds_rope_tables(cfg, max_len)
+    per_slot = getattr(pos, "ndim", 0) == 1
+    if per_slot:
+        cos, sin = cos_full[pos], sin_full[pos]  # [B, rope/2]
+    else:
+        cos = jax.lax.dynamic_slice_in_dim(cos_full, pos, S, axis=0)
+        sin = jax.lax.dynamic_slice_in_dim(sin_full, pos, S, axis=0)
+    dense_fq, moe_fq = fq if fq is not None else (None, None)
+
+    def mk_body(moe):
+        def body(carry, xs):
+            x = carry
+            lp, lfq, ckv, cpe = xs
+            x, (ckv, cpe) = ds_layer(
+                cfg, fq_cfg, mode, lp, lfq, x, cos, sin, None, moe=moe,
+                cache=(ckv, cpe), pos=pos,
+            )
+            return x, (ckv, cpe)
+
+        return body
+
+    x, (dkv, dpe) = jax.lax.scan(
+        mk_body(False), x,
+        (sp["dense_layers"], dense_fq, cache["dense_kv"], cache["dense_pe"]),
+    )
+    x, (mkv, mpe) = jax.lax.scan(
+        mk_body(True), x,
+        (sp["moe_layers"], moe_fq, cache["moe_kv"], cache["moe_pe"]),
+    )
+    x = rms_norm(x, sp["final_norm"], cfg.rms_eps)
+    h = x[:, -1] if last_idx is None else x[jnp.arange(B), last_idx]
+    logits = jnp.matmul(h, sp["head"].T.astype(x.dtype))
+    return logits.astype(jnp.float32), {
+        "dense_kv": dkv, "dense_pe": dpe, "moe_kv": mkv, "moe_pe": mpe,
+    }

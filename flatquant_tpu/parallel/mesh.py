@@ -143,3 +143,19 @@ def deepseek_param_specs(cfg, params: dict) -> dict:
         "dense_layers": dense,
         "moe_layers": moe,
     }
+
+
+def deepseek_serving_specs(sp: dict) -> dict:
+    """PartitionSpec tree for the PACKED int4 DS serving params
+    (models/deepseek.py:build_ds_serving_params): routed-expert packed
+    weights and scales shard over the "ep" axis (the int4 analog of
+    model.py:655-690's per-rank expert ownership); everything else
+    replicated — the MoE weights dominate DS parameter bytes, so ep is
+    the axis packed serving needs first."""
+    import jax
+
+    specs = jax.tree.map(lambda a: P(*((None,) * getattr(a, "ndim", 0))), sp)
+    for key in ("e_w1", "e_w2", "e_w3"):
+        specs["moe_layers"][key]["wp"] = P(None, "ep", None, None)
+        specs["moe_layers"][key]["scale"] = P(None, "ep", None)
+    return specs

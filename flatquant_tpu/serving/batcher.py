@@ -34,23 +34,29 @@ import functools
 
 
 @functools.lru_cache(maxsize=32)
-def _batcher_programs(cfg, fq_cfg, use_kernel, max_len, compute_dtype):
-    """Jitted (prefill_one, decode_multi, chunk_one) for a batcher config."""
+def _batcher_programs(cfg, fq_cfg, use_kernel, max_len, compute_dtype,
+                      forward_fn=None):
+    """Jitted (prefill_one, decode_multi, chunk_one) for a batcher config.
+
+    forward_fn: engine hook with _forward's signature — pass a module-level
+    function (hashable, stable across instances) to serve another model
+    family through the same scheduler (e.g. models.deepseek.ds_batch_forward)."""
+    fwd = forward_fn if forward_fn is not None else _forward
 
     @jax.jit
     def prefill_one(sp, tokens, cache1, last_idx):
-        return _forward(cfg, fq_cfg, sp, tokens, cache1, 0, "prefill",
-                        use_kernel, max_len, compute_dtype, last_idx=last_idx)
+        return fwd(cfg, fq_cfg, sp, tokens, cache1, 0, "prefill",
+                   use_kernel, max_len, compute_dtype, last_idx=last_idx)
 
     @jax.jit
     def decode_multi(sp, toks, cache, pos_vec):
-        return _forward(cfg, fq_cfg, sp, toks, cache, pos_vec, "decode",
-                        use_kernel, max_len, compute_dtype)
+        return fwd(cfg, fq_cfg, sp, toks, cache, pos_vec, "decode",
+                   use_kernel, max_len, compute_dtype)
 
     @jax.jit
     def chunk_one(sp, tokens, cache1, pos, last_idx):
-        return _forward(cfg, fq_cfg, sp, tokens, cache1, pos, "chunk",
-                        use_kernel, max_len, compute_dtype, last_idx=last_idx)
+        return fwd(cfg, fq_cfg, sp, tokens, cache1, pos, "chunk",
+                   use_kernel, max_len, compute_dtype, last_idx=last_idx)
 
     return prefill_one, decode_multi, chunk_one
 
@@ -79,6 +85,10 @@ class ContinuousBatcher:
         prefill_chunk: int = 0,
         mesh=None,
         tp_axis: str = "tp",
+        n_blocks: int = 0,
+        block_size: int = 256,
+        forward_fn=None,
+        init_cache_fn=None,
     ):
         """cache_mode="int4": packed int4 KV cache + Pallas flash-decode
         (the flagship cache under continuous batching; per-slot positions
@@ -105,7 +115,26 @@ class ContinuousBatcher:
         shard-aligned transforms); the KV cache shards over kv heads.
         Greedy outputs stay bit-identical to the unsharded batcher — the
         reference instead delegates TP serving to vLLM workers
-        (vllm_custom/, per-rank transform remap)."""
+        (vllm_custom/, per-rank transform remap).
+
+        forward_fn / init_cache_fn: engine hooks (signatures of
+        engine._forward / engine.init_cache) that serve another model
+        family through this scheduler — models.deepseek.ds_batch_forward
+        + ds_init_batch_cache run DeepSeek (packed int4 MoE, absorbed-MLA
+        latent caches) under continuous batching; the reference has no
+        batched DS serving at all (main_dpskv3.py:46-82 is a fixed-batch
+        generate loop). Hooks must be module-level functions so the
+        program cache stays shared across instances.
+
+        cache_mode="paged": block-table int4 cache (kernels/paged_kv.py +
+        serving/paged.py) — mixed-length requests share one block pool,
+        HBM proportional to reserved blocks instead of slots x max_len; a
+        finished request's blocks free immediately. n_blocks sizes the
+        pool (default: full slots x max_len capacity, i.e. no saving —
+        pass a smaller pool to realize the memory win); admission defers
+        a request when its reservation (ceil((S + max_new)/block_size)
+        blocks) doesn't fit yet. Greedy outputs match the "int4" slot
+        cache bit-for-bit."""
         self.cfg = cfg
         self.fq_cfg = fq_cfg
         self.sp = serving_params
@@ -131,10 +160,31 @@ class ContinuousBatcher:
         self.mesh = mesh
         self.tp_axis = tp_axis
         self._dev = jax.devices()[0]
-        if mesh is None:
+        self.block_size = block_size
+        self._forward_fn = forward_fn
+        self._init_cache = init_cache_fn if init_cache_fn is not None else init_cache
+        if forward_fn is not None:
+            assert mesh is None and cache_mode == "bf16", (
+                "engine hooks run the plain bf16-cache scheduler; paged/"
+                "int4/TP modes are Llama-engine specific")
+        if cache_mode == "paged":
+            from flatquant_tpu.serving.paged import BlockAllocator
+
+            assert mesh is None, "paged cache is single-device for now"
+            assert prefill_chunk == 0, (
+                "chunked prefill runs on the slot cache (engine assert)")
+            pool = init_cache(cfg, batch_slots, max_len, mode="paged",
+                              n_blocks=n_blocks, block_size=block_size)
+            self._mb = pool.pop("tbl").shape[1]
+            self.cache = jax.device_put(pool, self._dev)
+            self.alloc = BlockAllocator(pool["kp"].shape[1])
+            self.tbl = np.zeros((batch_slots, self._mb), np.int32)
+            self.slot_blocks = [[] for _ in range(batch_slots)]
+        elif mesh is None:
             self.cache = jax.device_put(
-                init_cache(cfg, batch_slots, max_len, dtype=compute_dtype,
-                           mode=cache_mode), self._dev)
+                self._init_cache(cfg, batch_slots, max_len,
+                                 dtype=compute_dtype, mode=cache_mode),
+                self._dev)
         else:
             from flatquant_tpu.parallel import serving_tp as stp
 
@@ -160,7 +210,7 @@ class ContinuousBatcher:
         if mesh is None:
             self._prefill_one, self._decode_multi, self._chunk_one = \
                 _batcher_programs(cfg, fq_cfg, use_kernel, max_len,
-                                  compute_dtype)
+                                  compute_dtype, forward_fn)
         else:
             from flatquant_tpu.parallel import serving_tp as stp
 
@@ -200,6 +250,14 @@ class ContinuousBatcher:
                 continue
             if not self.queue:
                 break
+            if self.cache_mode == "paged":
+                from flatquant_tpu.serving.paged import blocks_needed
+
+                need = blocks_needed(len(self.queue[0].prompt),
+                                     self.queue[0].max_new_tokens,
+                                     self.block_size)
+                if need > self.alloc.free_count:
+                    break  # FIFO: wait until the reservation fits
             if self.prefill_chunk > 0:
                 if self.pending is not None:
                     break  # one in-flight chunked prefill at a time
@@ -212,8 +270,9 @@ class ContinuousBatcher:
         """Committed single-slot prefill cache (sharded when under a mesh)."""
         if self.mesh is None:
             return jax.device_put(
-                init_cache(self.cfg, 1, self.max_len, dtype=self.compute_dtype,
-                           mode=self.cache_mode), self._dev)
+                self._init_cache(self.cfg, 1, self.max_len,
+                                 dtype=self.compute_dtype,
+                                 mode=self.cache_mode), self._dev)
         from flatquant_tpu.parallel import serving_tp as stp
 
         c, _ = stp.make_sharded_cache(
@@ -269,16 +328,37 @@ class ContinuousBatcher:
             S_pad = -(-S // self.prefill_bucket) * self.prefill_bucket
             S_pad = min(S_pad, self.max_len)
             toks = np.pad(toks, (0, S_pad - S))
-        cache1 = self._new_cache1()
-        logits, cache1 = self._prefill_one(
-            self.sp, jnp.asarray(toks[None, :]), cache1,
-            jnp.asarray([S - 1], np.int32),
-        )
-        # scatter the prompt cache rows into this slot
-        self.cache = {
-            key: self.cache[key].at[:, slot].set(cache1[key][:, 0])
-            for key in self.cache
-        }
+        if self.cache_mode == "paged":
+            from flatquant_tpu.serving.paged import blocks_needed
+
+            need = blocks_needed(S, req.max_new_tokens, self.block_size)
+            blocks = self.alloc.alloc(need)
+            assert blocks is not None, "admission checked the reservation"
+            self.slot_blocks[slot] = blocks
+            self.tbl[slot, :] = 0
+            self.tbl[slot, :need] = blocks
+            # the prompt writes straight into the shared pool through this
+            # slot's table — no post-hoc scatter into a slot row
+            cache_in = dict(self.cache)
+            cache_in["tbl"] = jax.device_put(self.tbl[slot:slot + 1],
+                                             self._dev)
+            logits, cache_out = self._prefill_one(
+                self.sp, jnp.asarray(toks[None, :]), cache_in,
+                jnp.asarray([S - 1], np.int32),
+            )
+            cache_out.pop("tbl")
+            self.cache = cache_out
+        else:
+            cache1 = self._new_cache1()
+            logits, cache1 = self._prefill_one(
+                self.sp, jnp.asarray(toks[None, :]), cache1,
+                jnp.asarray([S - 1], np.int32),
+            )
+            # scatter the prompt cache rows into this slot
+            self.cache = {
+                key: self.cache[key].at[:, slot].set(cache1[key][:, 0])
+                for key in self.cache
+            }
         tok = int(jnp.argmax(logits[0]))
         req.out_tokens.append(tok)
         self.slot_req[slot] = req
@@ -298,6 +378,10 @@ class ContinuousBatcher:
             self.finished[req.rid] = req.out_tokens
             self.slot_req[slot] = None
             self.remaining[slot] = 0
+            if self.cache_mode == "paged" and self.slot_blocks[slot]:
+                self.alloc.free(self.slot_blocks[slot])
+                self.slot_blocks[slot] = []
+                self.tbl[slot, :] = 0
 
     def step(self):
         self._admit()
@@ -306,9 +390,16 @@ class ContinuousBatcher:
         active = [s for s in range(self.B) if self.slot_req[s] is not None]
         if not active:
             return
-        logits, self.cache = self._decode_multi(
-            self.sp, jnp.asarray(self.next_tok), self.cache, jnp.asarray(self.pos)
+        cache_in = self.cache
+        if self.cache_mode == "paged":
+            cache_in = dict(self.cache)
+            cache_in["tbl"] = jax.device_put(self.tbl, self._dev)
+        logits, cache_out = self._decode_multi(
+            self.sp, jnp.asarray(self.next_tok), cache_in, jnp.asarray(self.pos)
         )
+        if self.cache_mode == "paged":
+            cache_out.pop("tbl")
+        self.cache = cache_out
         toks = np.asarray(jnp.argmax(logits, axis=-1))
         for slot in active:
             req = self.slot_req[slot]

@@ -45,11 +45,30 @@ from flatquant_tpu.serving.quantized import (
 
 
 def init_cache(cfg: LlamaConfig, batch: int, max_len: int, dtype=jnp.bfloat16,
-               mode: str = "bf16"):
+               mode: str = "bf16", n_blocks: int = 0, block_size: int = 256):
     """KV cache buffers. mode="bf16": dequantized values (quant error applied
     at write). mode="int4": packed nibbles + per-(token, head) scale/zero —
-    4x less HBM traffic, read by the Pallas flash-decode kernel."""
+    4x less HBM traffic, read by the Pallas flash-decode kernel.
+    mode="paged": block-table pool (kernels/paged_kv.py) — HBM proportional
+    to allocated blocks, not batch x max_len; n_blocks=0 sizes the pool for
+    the full batch x max_len capacity (plus the trash block 0), callers
+    with mixed lengths pass a smaller pool. The returned "tbl" maps slot b
+    to contiguous pool blocks (generate()'s static allocation; the
+    continuous batcher manages tables through serving/paged.py)."""
     L, nkv, hd = cfg.num_layers, cfg.num_kv_heads, cfg.head_dim
+    if mode == "paged":
+        from flatquant_tpu.kernels.paged_kv import init_paged_pool
+
+        mb = -(-max_len // block_size)
+        if n_blocks <= 0:
+            n_blocks = 1 + batch * mb
+        pool = init_paged_pool(L, n_blocks, nkv, hd, block_size)
+        n_per = min(mb, (n_blocks - 1) // max(batch, 1))
+        tbl = np.zeros((batch, mb), np.int32)
+        for b in range(batch):
+            tbl[b, :n_per] = 1 + b * n_per + np.arange(n_per)
+        pool["tbl"] = jnp.asarray(tbl)
+        return pool
     if mode == "int4":
         # v4 lane-full transposed layout (kernels/kv_cache.py header):
         # codes [B, nkv, hd/2, S] u8, params [B, nkv, 2, S] f32 — token
@@ -73,8 +92,9 @@ def unstack_cache(cache: dict) -> dict:
     token that also blocks XLA from aliasing the one-token
     dynamic-update-slice in place. Tuples keep each layer's buffer an
     independent loop-carried array: the update aliases, the copy
-    disappears."""
-    return {k: tuple(v[i] for i in range(v.shape[0])) for k, v in cache.items()}
+    disappears. The paged "tbl" has no layer axis and passes through."""
+    return {k: (v if k == "tbl" else tuple(v[i] for i in range(v.shape[0])))
+            for k, v in cache.items()}
 
 
 def _rotate_half_rope(x):
@@ -303,7 +323,7 @@ def serving_layer(
 
 def serving_layer_int4cache(
     cfg, fq_cfg, sl, x, cos, sin, kp, kparam, vp, vparam, pos, phase,
-    use_kernel, compute_dtype, tp_axis=None,
+    use_kernel, compute_dtype, tp_axis=None, tbl=None,
 ):
     """serving_layer variant over the packed int4 cache.
 
@@ -312,6 +332,13 @@ def serving_layer_int4cache(
     the fused int4 flash-decode kernel (kernels.kv_cache). pos may be a
     scalar or a per-slot [B] vector (continuous batching decode) — the
     kernel's valid_len is per-batch already (kernels/kv_cache.py:172-181).
+
+    tbl is not None selects the block-table PAGED cache: kp/kparam/vp/
+    vparam are then block pools [nb, nkv, hd/2|2, bs] shared across slots
+    and tbl [B, max_blocks] maps slot positions to pool blocks
+    (kernels/paged_kv.py; reference page growth kv_cache.py:206-225).
+    Quantization math and attention numerics are identical to the slot
+    cache, so both modes produce the same logits.
     """
     from flatquant_tpu.kernels.kv_cache import (
         decode_attention_int4_v4,
@@ -372,7 +399,7 @@ def serving_layer_int4cache(
             and fq_cfg.a_cfg.q_max == 7 and tp_axis is None):
         x, kp, kparam, vp, vparam = _fused_prefill_attention(
             cfg, fq_cfg, sl, x, qkv3, cos, sin, kp, kparam, vp, vparam,
-            pos, use_kernel, compute_dtype)
+            pos, use_kernel, compute_dtype, tbl=tbl)
         return _int4cache_mlp(cfg, fq_cfg, sl, x, use_kernel, compute_dtype,
                               tp_axis, qlin) + (kp, kparam, vp, vparam)
 
@@ -405,7 +432,26 @@ def serving_layer_int4cache(
     # v4 transposed layout: new tokens land as lane columns
     kq, kpar_new = pack_kv_transposed(k, sl.get("kc_clip"))  # [B,nkv,hd/2,S]
     vq, vpar_new = pack_kv_transposed(v, sl.get("vc_clip"))
-    if per_slot:
+    if tbl is not None:
+        from flatquant_tpu.kernels.paged_kv import (
+            write_prompt_paged,
+            write_token_paged,
+        )
+
+        if phase == "prefill":
+            assert getattr(pos, "ndim", 0) == 0, "paged prefill starts at 0"
+            kp, kparam = write_prompt_paged(kp, kparam, kq, kpar_new, tbl)
+            vp, vparam = write_prompt_paged(vp, vparam, vq, vpar_new, tbl)
+        else:
+            assert phase == "decode" and S == 1, (
+                "paged cache supports prefill + decode (chunked prefill "
+                "runs on the slot cache)")
+            pos_vec = pos if per_slot else jnp.full((B,), pos, jnp.int32)
+            kp, kparam = write_token_paged(kp, kparam, kq[..., 0],
+                                           kpar_new[..., 0], tbl, pos_vec)
+            vp, vparam = write_token_paged(vp, vparam, vq[..., 0],
+                                           vpar_new[..., 0], tbl, pos_vec)
+    elif per_slot:
         bidx = jnp.arange(B)[:, None, None]
         hidx = jnp.arange(nkv)[None, :, None]
         didx = jnp.arange(kp.shape[2])[None, None, :]
@@ -461,7 +507,17 @@ def serving_layer_int4cache(
     else:
         valid = (pos + 1).astype(jnp.int32) if per_slot else jnp.full(
             (B,), pos + 1, jnp.int32)
-        if use_kernel:
+        if tbl is not None:
+            from flatquant_tpu.kernels.paged_kv import (
+                paged_decode_attention_int4,
+                paged_decode_attention_ref,
+            )
+
+            paged_fn = (paged_decode_attention_int4 if use_kernel
+                        else paged_decode_attention_ref)
+            attn = paged_fn(q[:, 0], kp, kparam, vp, vparam, tbl, valid,
+                            sm_scale)[:, None]
+        elif use_kernel:
             attn = decode_attention_int4_v4(
                 q[:, 0], kp, kparam, vp, vparam, valid, sm_scale
             )[:, None]
@@ -543,12 +599,14 @@ def _int4cache_mlp(cfg, fq_cfg, sl, x, use_kernel, compute_dtype, tp_axis,
 
 
 def _fused_prefill_attention(cfg, fq_cfg, sl, x, qkv3, cos, sin, kp, kparam,
-                             vp, vparam, pos, use_kernel, compute_dtype):
+                             vp, vparam, pos, use_kernel, compute_dtype,
+                             tbl=None):
     """Prefill attention through the fused prologue + fused o path.
 
     qkv3: the merged-projection output [B, S, (nh + 2*nkv)*128]. Writes
-    the packed int4 K/V into the v4 cache at `pos`, attends unquantized
-    via flash (reference prefill trick), and runs the o-transform + quant
+    the packed int4 K/V into the v4 cache at `pos` (or, when tbl is set,
+    scatters them into the paged block pool), attends unquantized via
+    flash (reference prefill trick), and runs the o-transform + quant
     as one left_quant_i8_flat pass (the o head-mixing is a left Kronecker
     factor with identity right factor). Returns (x_out, kp, kparam, vp,
     vparam)."""
@@ -566,14 +624,24 @@ def _fused_prefill_attention(cfg, fq_cfg, sl, x, qkv3, cos, sin, kp, kparam,
         sl.get("kc_clip"), sl.get("vc_clip"), nh=nh, nkv=nkv)
     # token-major codes/params -> the v4 transposed cache layout (cheap
     # u8/f32 transposes instead of the bf16 relayouts they replace)
-    kp = jax.lax.dynamic_update_slice_in_dim(
-        kp, jnp.transpose(kq_c, (0, 1, 3, 2)), pos, axis=3)
-    kparam = jax.lax.dynamic_update_slice_in_dim(
-        kparam, jnp.transpose(kpar_c, (0, 1, 3, 2)), pos, axis=3)
-    vp = jax.lax.dynamic_update_slice_in_dim(
-        vp, jnp.transpose(vq_c, (0, 1, 3, 2)), pos, axis=3)
-    vparam = jax.lax.dynamic_update_slice_in_dim(
-        vparam, jnp.transpose(vpar_c, (0, 1, 3, 2)), pos, axis=3)
+    if tbl is not None:
+        from flatquant_tpu.kernels.paged_kv import write_prompt_paged
+
+        kp, kparam = write_prompt_paged(
+            kp, kparam, jnp.transpose(kq_c, (0, 1, 3, 2)),
+            jnp.transpose(kpar_c, (0, 1, 3, 2)), tbl)
+        vp, vparam = write_prompt_paged(
+            vp, vparam, jnp.transpose(vq_c, (0, 1, 3, 2)),
+            jnp.transpose(vpar_c, (0, 1, 3, 2)), tbl)
+    else:
+        kp = jax.lax.dynamic_update_slice_in_dim(
+            kp, jnp.transpose(kq_c, (0, 1, 3, 2)), pos, axis=3)
+        kparam = jax.lax.dynamic_update_slice_in_dim(
+            kparam, jnp.transpose(kpar_c, (0, 1, 3, 2)), pos, axis=3)
+        vp = jax.lax.dynamic_update_slice_in_dim(
+            vp, jnp.transpose(vq_c, (0, 1, 3, 2)), pos, axis=3)
+        vparam = jax.lax.dynamic_update_slice_in_dim(
+            vparam, jnp.transpose(vpar_c, (0, 1, 3, 2)), pos, axis=3)
 
     sm_scale = 1.0 / float(np.sqrt(hd))
     attn = prefill_attention(
@@ -613,24 +681,29 @@ def _forward(cfg, fq_cfg, sp, tokens, cache, pos, phase, use_kernel, max_len,
         # a tuple-valued cache (unstack_cache) round-trips per-layer
         # buffers without the end-of-step jnp.stack — the one-token
         # dynamic-update-slice then aliases in place across loop steps
-        tup = isinstance(next(iter(cache.values())), (list, tuple))
+        tup = isinstance(cache["kp" if "kp" in cache else "k"],
+                         (list, tuple))
         repack = (lambda xs: tuple(xs)) if tup else jnp.stack
         if "kp" in cache:
+            tbl = cache.get("tbl")
             kps, kpars, vps, vpars = [], [], [], []
             for i, sl in enumerate(sp["layers"]):
                 x, kp_i, kparam_i, vp_i, vparam_i = serving_layer_int4cache(
                     cfg, fq_cfg, sl, x, cos, sin, cache["kp"][i], cache["kparam"][i],
                     cache["vp"][i], cache["vparam"][i], pos, phase, use_kernel,
-                    compute_dtype, tp_axis=tp_axis,
+                    compute_dtype, tp_axis=tp_axis, tbl=tbl,
                 )
                 kps.append(kp_i); kpars.append(kparam_i)
                 vps.append(vp_i); vpars.append(vparam_i)
             x = rms_norm(x, sp["final_norm_w"], cfg.rms_eps)
             logits = jnp.matmul(_last_hidden(x, last_idx), sp["lm_head"].T.astype(x.dtype))
-            return logits.astype(jnp.float32), {
+            out_cache = {
                 "kp": repack(kps), "kparam": repack(kpars),
                 "vp": repack(vps), "vparam": repack(vpars),
             }
+            if tbl is not None:
+                out_cache["tbl"] = tbl
+            return logits.astype(jnp.float32), out_cache
         cks, cvs = [], []
         for i, sl in enumerate(sp["layers"]):
             x, ck_i, cv_i = serving_layer(
@@ -642,17 +715,19 @@ def _forward(cfg, fq_cfg, sp, tokens, cache, pos, phase, use_kernel, max_len,
         logits = jnp.matmul(_last_hidden(x, last_idx), sp["lm_head"].T.astype(x.dtype))
         return logits.astype(jnp.float32), {"k": repack(cks), "v": repack(cvs)}
 
-    if "kp" in cache:  # packed int4 cache mode
+    if "kp" in cache:  # packed int4 cache mode (slot or paged)
         assert fq_cfg.k_cfg.bits == 4 and fq_cfg.v_cfg.bits == 4, (
             "the packed cache layout is int4 nibbles; use the bf16 cache "
             "mode for kv16/kv8 configs (kv8 quantizes at write there)"
         )
+        tbl = cache.get("tbl")
+
         def body4(carry, xs):
             x = carry
             sl, kp, kparam, vp, vparam = xs
             x, kp, kparam, vp, vparam = serving_layer_int4cache(
                 cfg, fq_cfg, sl, x, cos, sin, kp, kparam, vp, vparam, pos,
-                phase, use_kernel, compute_dtype, tp_axis=tp_axis,
+                phase, use_kernel, compute_dtype, tp_axis=tp_axis, tbl=tbl,
             )
             return x, (kp, kparam, vp, vparam)
 
@@ -662,9 +737,10 @@ def _forward(cfg, fq_cfg, sp, tokens, cache, pos, phase, use_kernel, max_len,
         )
         x = rms_norm(x, sp["final_norm_w"], cfg.rms_eps)
         logits = jnp.matmul(_last_hidden(x, last_idx), sp["lm_head"].T.astype(x.dtype))
-        return logits.astype(jnp.float32), {
-            "kp": kp, "kparam": kparam, "vp": vp, "vparam": vparam
-        }
+        out_cache = {"kp": kp, "kparam": kparam, "vp": vp, "vparam": vparam}
+        if tbl is not None:
+            out_cache["tbl"] = tbl
+        return logits.astype(jnp.float32), out_cache
 
     def body(carry, xs):
         x = carry

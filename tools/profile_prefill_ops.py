@@ -50,6 +50,9 @@ def main():
     ap.add_argument("--tpu_decompose", action="store_true",
                     help="rn128 transform split: grouped Pallas front-ends "
                          "cover attn-in and the full MLP")
+    ap.add_argument("--cache", default="bf16", choices=["bf16", "int4"],
+                    help="int4 engages the fused attn prologue + fused o "
+                         "path (serving_layer_int4cache)")
     args = ap.parse_args()
 
     cfg = dataclasses.replace(
@@ -68,7 +71,7 @@ def main():
     del params, baked, fq, baked_fq, sp_host
 
     toks = jnp.zeros((args.batch, args.s), jnp.int32)
-    cache = unstack_cache(init_cache(cfg, args.batch, args.s))
+    cache = unstack_cache(init_cache(cfg, args.batch, args.s, mode=args.cache))
 
     use_kernel = jax.default_backend() == "tpu"
     f = lambda sp, toks, cache: serving_prefill(
