@@ -33,6 +33,11 @@ import pytest
 import jax
 import jax.numpy as jnp
 
+# heavy cross-framework harness (imports + runs the reference's torch
+# code): excluded from the default run (pytest.ini addopts) to keep it
+# <15 min; run explicitly with `pytest -m parity`
+pytestmark = pytest.mark.parity
+
 torch = pytest.importorskip("torch")
 
 REF_PATH = "/root/reference"

@@ -38,6 +38,10 @@ import jax.numpy as jnp
 
 torch = pytest.importorskip("torch")
 
+# heavy cross-framework harness — excluded from the default run
+# (pytest.ini addopts); run explicitly with `pytest -m parity`
+pytestmark = pytest.mark.parity
+
 import test_reference_parity as rp  # noqa: E402  (shared tiny-model setup)
 
 from flatquant_tpu.calib.trainer import calibrate  # noqa: E402
