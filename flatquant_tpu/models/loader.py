@@ -104,6 +104,77 @@ def load_hf_llama(path: str, cfg: LlamaConfig, dtype=jnp.float32) -> dict:
     return params_from_named_tensors(_iter_safetensors(path), cfg, dtype)
 
 
+def write_hf_llama_fixture(path: str, cfg: LlamaConfig, seed: int = 0) -> None:
+    """Write a tiny random checkpoint in the official HF Llama/Qwen2 layout
+    (BF16 tensors at real HF names + config.json) — the loader-format
+    proof for tests and offline environments (the DS loader has the same
+    pattern, ds_loader.write_hf_deepseek_fixture). BF16 is what real HF
+    Llama/Qwen shards ship, so loading this exercises the native mmap
+    reader's BF16->f32 widening path (native/safetensors_io.py).
+
+    Reference analog: model_utils.get_model loading HF checkpoints
+    (flatquant/model_utils.py:76)."""
+    import torch
+    from safetensors.torch import save_file
+
+    os.makedirs(path, exist_ok=True)
+    gen = torch.Generator().manual_seed(seed)
+    sd = {}
+
+    def lin(name, out_d, in_d, bias=False):
+        sd[name + ".weight"] = (
+            torch.randn(out_d, in_d, generator=gen) * 0.05
+        ).to(torch.bfloat16)
+        if bias:
+            sd[name + ".bias"] = (
+                torch.randn(out_d, generator=gen) * 0.01
+            ).to(torch.bfloat16)
+
+    H, I = cfg.hidden_size, cfg.intermediate_size
+    qd, kvd = cfg.num_heads * cfg.head_dim, cfg.num_kv_heads * cfg.head_dim
+    sd["model.embed_tokens.weight"] = (
+        torch.randn(cfg.vocab_size, H, generator=gen) * 0.05
+    ).to(torch.bfloat16)
+    sd["model.norm.weight"] = torch.ones(H, dtype=torch.bfloat16)
+    if not cfg.tie_embeddings:
+        sd["lm_head.weight"] = (
+            torch.randn(cfg.vocab_size, H, generator=gen) * 0.05
+        ).to(torch.bfloat16)
+    for li in range(cfg.num_layers):
+        p = f"model.layers.{li}"
+        sd[f"{p}.input_layernorm.weight"] = torch.ones(H, dtype=torch.bfloat16)
+        sd[f"{p}.post_attention_layernorm.weight"] = torch.ones(
+            H, dtype=torch.bfloat16)
+        lin(f"{p}.self_attn.q_proj", qd, H, bias=cfg.attn_bias)
+        lin(f"{p}.self_attn.k_proj", kvd, H, bias=cfg.attn_bias)
+        lin(f"{p}.self_attn.v_proj", kvd, H, bias=cfg.attn_bias)
+        lin(f"{p}.self_attn.o_proj", H, qd)
+        lin(f"{p}.mlp.gate_proj", I, H)
+        lin(f"{p}.mlp.up_proj", I, H)
+        lin(f"{p}.mlp.down_proj", H, I)
+    save_file(sd, os.path.join(path, "model.safetensors"))
+
+    conf = {
+        "architectures": ["Qwen2ForCausalLM" if cfg.attn_bias
+                          else "LlamaForCausalLM"],
+        "model_type": "qwen2" if cfg.attn_bias else "llama",
+        "vocab_size": cfg.vocab_size,
+        "hidden_size": H,
+        "intermediate_size": I,
+        "num_hidden_layers": cfg.num_layers,
+        "num_attention_heads": cfg.num_heads,
+        "num_key_value_heads": cfg.num_kv_heads,
+        "head_dim": cfg.head_dim,
+        "rope_theta": cfg.rope_theta,
+        "rms_norm_eps": cfg.rms_eps,
+        "attention_bias": cfg.attn_bias,
+        "tie_word_embeddings": cfg.tie_embeddings,
+        "torch_dtype": "bfloat16",
+    }
+    with open(os.path.join(path, "config.json"), "w") as f:
+        json.dump(conf, f, indent=1)
+
+
 def config_from_hf_json(path: str, name: str = "custom") -> LlamaConfig:
     """Build a LlamaConfig from an HF config.json (local file)."""
     from flatquant_tpu.models.config import RopeScaling
