@@ -93,6 +93,30 @@ def write_prompt_paged(pool_c, pool_p, codes, params, tbl):
     return pool_c, pool_p
 
 
+def write_chunk_paged(pool_c, pool_p, codes, params, tbl, start):
+    """Scatter a prefill CHUNK's packed K or V into the pool at positions
+    [start, start + S) — chunked prefill over the paged cache (the slot
+    cache's dynamic_update_slice analog; reference chunk semantics are the
+    same decode-generalized path, kv_cache.py:206-225 growth).
+
+    codes [B, nkv, hd/2, S]; params [B, nkv, 2, S] (v4 transposed layout);
+    tbl [B, max_blocks]; start: traced int32 scalar (the chunk's first
+    position). Positions may straddle block boundaries — the scatter
+    resolves each token's (block, lane) through the table."""
+    B, nkv, hdh, S = codes.shape
+    bs = pool_c.shape[-1]
+    pos = start + jnp.arange(S)  # [S]
+    blk = tbl[:, pos // bs]  # [B, S] pool block per token
+    off = pos % bs  # [S]
+    bidx = blk.reshape(-1)  # [B*S]
+    oidx = jnp.tile(off, B)
+    c = codes.transpose(0, 3, 1, 2).reshape(B * S, nkv, hdh)
+    p = params.transpose(0, 3, 1, 2).reshape(B * S, nkv, 2)
+    pool_c = pool_c.at[bidx, :, :, oidx].set(c)
+    pool_p = pool_p.at[bidx, :, :, oidx].set(p)
+    return pool_c, pool_p
+
+
 def write_token_paged(pool_c, pool_p, codes1, params1, tbl, pos):
     """Write one decode token per slot.
 
@@ -227,6 +251,158 @@ def paged_decode_attention_int4(q, kp, kparam, vp, vparam, tbl, valid_len,
     )(tbl.astype(jnp.int32), valid_len.astype(jnp.int32), qg,
       kp, kparam, vp, vparam)
     return out.reshape(B, nh, hd)
+
+
+def _paged_chunk_kernel(tbl_ref, pos_ref, q_ref, kp_ref, kpar_ref, vp_ref,
+                        vpar_ref, o_ref, m_ref, l_ref, acc_ref, zacc_ref, *,
+                        sm_scale, bs, sq):
+    """Grid (B, nkv, max_blocks); the v4 chunk-attention body
+    (kv_cache._chunk_kernel_v4: q rows are (n_rep, Sq) flattened, row r
+    attends ids <= pos + r % Sq) with data blocks gathered through the
+    block table by the index maps and sequence ids derived from the
+    LOGICAL block index."""
+    b = pl.program_id(0)
+    si = pl.program_id(2)
+    n_blk = pl.num_programs(2)
+    pos = pos_ref[b]
+
+    @pl.when(si == 0)
+    def _init():
+        m_ref[...] = jnp.full_like(m_ref, -1e30)
+        l_ref[...] = jnp.zeros_like(l_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+        zacc_ref[...] = jnp.zeros_like(zacc_ref)
+
+    # skip blocks entirely past the chunk's last row (their DMA was elided
+    # by the clamped index map)
+    @pl.when(si * bs <= pos + sq - 1)
+    def _step():
+        q = q_ref[0, 0].astype(jnp.float32)  # [R, hd]
+        R = q.shape[0]
+        qsum = jnp.sum(q, axis=1, keepdims=True)
+
+        kp = kp_ref[0, 0].astype(jnp.int32)  # [hd/2, bs]
+        ck = jnp.concatenate([kp & 0xF, kp >> 4], axis=0).astype(jnp.float32)
+        raw = jax.lax.dot_general(
+            q, ck, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        ksc = kpar_ref[0, 0, 0:1, :]
+        kzr = kpar_ref[0, 0, 1:2, :]
+        sc = (raw - qsum * kzr) * ksc * sm_scale
+        ids = si * bs + jax.lax.broadcasted_iota(jnp.int32, (1, bs), 1)
+        row_q = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0) % sq
+        sc = jnp.where(ids <= pos + row_q, sc, -jnp.inf)
+
+        m_prev = m_ref[...]
+        m_new = jnp.maximum(
+            jnp.maximum(m_prev, jnp.max(sc, axis=1, keepdims=True)), -1e30)
+        p = jnp.exp(sc - m_new)
+        corr = jnp.exp(m_prev - m_new)
+        m_ref[...] = m_new
+        l_ref[...] = l_ref[...] * corr + jnp.sum(p, axis=1, keepdims=True)
+
+        vsc = vpar_ref[0, 0, 0:1, :]
+        vzr = vpar_ref[0, 0, 1:2, :]
+        p_s = p * vsc
+        vp = vp_ref[0, 0].astype(jnp.int32)
+        cv = jnp.concatenate([vp & 0xF, vp >> 4], axis=0).astype(jnp.float32)
+        pv = jax.lax.dot_general(
+            p_s, cv, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        acc_ref[...] = acc_ref[...] * corr + pv
+        zacc_ref[...] = zacc_ref[...] * corr + jnp.sum(
+            p_s * vzr, axis=1, keepdims=True)
+
+    @pl.when(si == n_blk - 1)
+    def _fin():
+        l = jnp.maximum(l_ref[...], 1e-30)
+        o_ref[0, 0] = ((acc_ref[...] - zacc_ref[...]) / l).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("sm_scale", "interpret"))
+def paged_chunk_attention_int4(q, kp, kparam, vp, vparam, tbl, pos,
+                               sm_scale: float, interpret: bool = None):
+    """Chunked-prefill attention over the block pool (the paged twin of
+    kv_cache.chunk_attention_int4_v4 — chunk x paged composition,
+    VERDICT r3 item 4).
+
+    q [B, Sq, nh, hd] (chunk queries, already rope'd/k-space-rotated);
+    kp/vp [nb, nkv, hd/2, bs] pools holding history AND this chunk's
+    already-written K/V; tbl [B, max_blocks]; pos [B] int32 chunk start.
+    Returns [B, Sq, nh, hd] in q.dtype. Table tails clamp to the last
+    block the chunk touches, so their fetches are elided and their grid
+    steps skip compute."""
+    nb, nkv, hdh, bs = kp.shape
+    hd = hdh * 2
+    B, sq, nh, _ = q.shape
+    n_rep = nh // nkv
+    mb = tbl.shape[1]
+    qg = q.reshape(B, sq, nkv, n_rep, hd).transpose(0, 2, 3, 1, 4)
+    qg = qg.reshape(B, nkv, n_rep * sq, hd)
+    R = n_rep * sq
+
+    def blk_idx(b, h, s, tbl_ref, pos_ref):
+        last = (pos_ref[b] + sq - 1) // bs
+        return (tbl_ref[b, jnp.minimum(s, last)], h, 0, 0)
+
+    out = pl.pallas_call(
+        functools.partial(_paged_chunk_kernel, sm_scale=sm_scale, bs=bs,
+                          sq=sq),
+        out_shape=jax.ShapeDtypeStruct((B, nkv, R, hd), q.dtype),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(B, nkv, mb),
+            in_specs=[
+                pl.BlockSpec((1, 1, R, hd),
+                             lambda b, h, s, *_: (b, h, 0, 0)),
+                pl.BlockSpec((1, 1, hdh, bs), blk_idx),
+                pl.BlockSpec((1, 1, 2, bs), blk_idx),
+                pl.BlockSpec((1, 1, hdh, bs), blk_idx),
+                pl.BlockSpec((1, 1, 2, bs), blk_idx),
+            ],
+            out_specs=pl.BlockSpec((1, 1, R, hd),
+                                   lambda b, h, s, *_: (b, h, 0, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((R, 1), jnp.float32),   # m
+                pltpu.VMEM((R, 1), jnp.float32),   # l
+                pltpu.VMEM((R, hd), jnp.float32),  # acc
+                pltpu.VMEM((R, 1), jnp.float32),   # zacc
+            ],
+        ),
+        interpret=resolve_interpret(interpret),
+    )(tbl.astype(jnp.int32), pos.astype(jnp.int32), qg, kp, kparam, vp,
+      vparam)
+    out = out.reshape(B, nkv, n_rep, sq, hd).transpose(0, 3, 1, 2, 4)
+    return out.reshape(B, sq, nh, hd)
+
+
+def paged_chunk_attention_ref(q, kp, kparam, vp, vparam, tbl, pos,
+                              sm_scale: float):
+    """Pure-XLA oracle: gather the pool through the table, then run the
+    (untransposed) chunk-attention math (engine's non-kernel chunk path)."""
+    B, sq, nh, hd = q.shape
+    kc, kpr = gather_kv_paged(kp, kparam, tbl)
+    vc, vpr = gather_kv_paged(vp, vparam, tbl)
+    from flatquant_tpu.kernels.kv_cache import unpack_dequant_kv
+
+    kpo, kso, kzo = untranspose_kv(kc, kpr)
+    vpo, vso, vzo = untranspose_kv(vc, vpr)
+    k_att = unpack_dequant_kv(kpo, kso, kzo, jnp.float32)  # [B, nkv, S, hd]
+    v_att = unpack_dequant_kv(vpo, vso, vzo, jnp.float32)
+    nkv = k_att.shape[1]
+    n_rep = nh // nkv
+    if n_rep > 1:
+        k_att = jnp.repeat(k_att, n_rep, axis=1)
+        v_att = jnp.repeat(v_att, n_rep, axis=1)
+    kv_len = k_att.shape[2]
+    ids = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, kv_len), 3)
+    iq = jax.lax.broadcasted_iota(jnp.int32, (1, 1, sq, 1), 2)
+    limit = pos.reshape(-1, 1, 1, 1) + iq
+    bias = jnp.where(ids <= limit, 0.0, -1e9)
+    scores = jnp.einsum("bqhd,bhkd->bhqk", q.astype(jnp.float32),
+                        k_att) * sm_scale + bias
+    probs = jax.nn.softmax(scores, axis=-1)
+    return jnp.einsum("bhqk,bhkd->bqhd", probs, v_att).astype(q.dtype)
 
 
 def gather_kv_paged(pool_c, pool_p, tbl):

@@ -99,11 +99,19 @@ def serving_param_specs(sp: dict, tp_axis: str = "tp"):
 def serving_cache_specs(cache: dict, tp_axis: str = "tp",
                         dp_axis: Optional[str] = None):
     """KV cache specs: kv heads over tp, batch over dp (if given).
-    int4 v4 layout [L, B, nkv, hd/2|2, S]; bf16 layout [L, B, S, nkv, hd]."""
+    int4 v4 layout [L, B, nkv, hd/2|2, S]; bf16 layout [L, B, S, nkv, hd].
+    Paged pools [L, nb, nkv, hd/2|2, bs] shard kv heads over tp like the
+    slot cache, but the block axis stays UNSHARDED (the pool is shared by
+    all slots — a dp cut would split one slot's blocks across replicas);
+    the block table replicates (host-managed indices, identical on every
+    device)."""
+    paged = "tbl" in cache
     out = {}
     for k in cache:
-        if k in ("kp", "vp", "kparam", "vparam"):
-            out[k] = P(None, dp_axis, tp_axis, None, None)
+        if k == "tbl":
+            out[k] = P(None, None)
+        elif k in ("kp", "vp", "kparam", "vparam"):
+            out[k] = P(None, None if paged else dp_axis, tp_axis, None, None)
         else:
             out[k] = P(None, dp_axis, None, tp_axis, None)
     return out
@@ -120,9 +128,12 @@ def shard_serving_params(sp: dict, mesh: Mesh, tp_axis: str = "tp"):
 
 def make_sharded_cache(cfg: LlamaConfig, batch: int, max_len: int, mesh: Mesh,
                        mode: str = "bf16", dtype=jnp.bfloat16,
-                       tp_axis: str = "tp", dp_axis: Optional[str] = None):
-    """Sharded KV cache buffers; returns (cache, spec_tree)."""
-    cache = init_cache(cfg, batch, max_len, dtype=dtype, mode=mode)
+                       tp_axis: str = "tp", dp_axis: Optional[str] = None,
+                       n_blocks: int = 0, block_size: int = 256):
+    """Sharded KV cache buffers; returns (cache, spec_tree). mode="paged"
+    shards the block pool's kv heads over tp (block table replicated)."""
+    cache = init_cache(cfg, batch, max_len, dtype=dtype, mode=mode,
+                       n_blocks=n_blocks, block_size=block_size)
     specs = serving_cache_specs(cache, tp_axis, dp_axis)
     cache = {k: jax.device_put(v, NamedSharding(mesh, specs[k]))
              for k, v in cache.items()}

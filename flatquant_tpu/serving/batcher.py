@@ -130,11 +130,14 @@ class ContinuousBatcher:
         serving/paged.py) — mixed-length requests share one block pool,
         HBM proportional to reserved blocks instead of slots x max_len; a
         finished request's blocks free immediately. n_blocks sizes the
-        pool (default: full slots x max_len capacity, i.e. no saving —
-        pass a smaller pool to realize the memory win); admission defers
-        a request when its reservation (ceil((S + max_new)/block_size)
-        blocks) doesn't fit yet. Greedy outputs match the "int4" slot
-        cache bit-for-bit."""
+        pool; the default is HALF the slots x max_len worst case (the
+        memory win the design exists for) — admission defers a request
+        when its reservation (ceil((S + max_new)/block_size) blocks)
+        doesn't fit yet, trading occupancy, never correctness. Composes
+        with `mesh` (pool kv heads shard over tp, tables replicate) and
+        with `prefill_chunk` (chunks scatter through the slot's table;
+        paged_chunk_attention kernel reads history through it). Greedy
+        outputs match the "int4" slot cache bit-for-bit."""
         self.cfg = cfg
         self.fq_cfg = fq_cfg
         self.sp = serving_params
@@ -170,14 +173,35 @@ class ContinuousBatcher:
         if cache_mode == "paged":
             from flatquant_tpu.serving.paged import BlockAllocator
 
-            assert mesh is None, "paged cache is single-device for now"
-            assert prefill_chunk == 0, (
-                "chunked prefill runs on the slot cache (engine assert)")
+            self._mb = -(-max_len // block_size)
+            if n_blocks <= 0:
+                # default: HALF the slots x max_len worst case (+ trash
+                # block) — the memory win the paged design exists for.
+                # Admission defers a request whose reservation doesn't fit,
+                # so a smaller pool trades batch occupancy, never
+                # correctness. Pass n_blocks explicitly to size for a
+                # known workload.
+                n_blocks = 1 + max(1, (batch_slots * self._mb + 1) // 2)
             pool = init_cache(cfg, batch_slots, max_len, mode="paged",
                               n_blocks=n_blocks, block_size=block_size)
-            self._mb = pool.pop("tbl").shape[1]
-            self.cache = jax.device_put(pool, self._dev)
-            self.alloc = BlockAllocator(pool["kp"].shape[1])
+            pool.pop("tbl")  # the batcher manages tables host-side
+            if mesh is None:
+                self.cache = jax.device_put(pool, self._dev)
+            else:
+                # paged x TP: pool kv heads shard over the tp axis, block
+                # table replicates (parallel/serving_tp.serving_cache_specs)
+                from flatquant_tpu.parallel import serving_tp as stp
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                self.sp, sp_specs = stp.shard_serving_params(
+                    serving_params, mesh, tp_axis)
+                cache_specs = stp.serving_cache_specs(
+                    {**pool, "tbl": np.zeros((1, 1), np.int32)}, tp_axis)
+                self.cache = {
+                    k: jax.device_put(v, NamedSharding(mesh, cache_specs[k]))
+                    for k, v in pool.items()}
+                self._tp_specs = (sp_specs, cache_specs)
+            self.alloc = BlockAllocator(n_blocks)
             self.tbl = np.zeros((batch_slots, self._mb), np.int32)
             self.slot_blocks = [[] for _ in range(batch_slots)]
         elif mesh is None:
@@ -266,6 +290,15 @@ class ContinuousBatcher:
             else:
                 self._prefill_into_slot(slot, self.queue.pop(0))
 
+    def _put_tbl(self, arr):
+        """Device copy of a host block table — replicated over the mesh
+        when tensor-parallel (every shard gathers the same pool indices)."""
+        if self.mesh is None:
+            return jax.device_put(arr, self._dev)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        return jax.device_put(arr, NamedSharding(self.mesh, P(None, None)))
+
     def _new_cache1(self):
         """Committed single-slot prefill cache (sharded when under a mesh)."""
         if self.mesh is None:
@@ -286,7 +319,23 @@ class ContinuousBatcher:
         C = self.prefill_chunk
         S_pad = min(-(-S // C) * C, self.max_len)
         toks = np.pad(req.prompt, (0, S_pad - S))
-        cache1 = self._new_cache1()
+        if self.cache_mode == "paged":
+            # chunk x paged: chunks write straight into the shared pool
+            # through this slot's block table (no staging cache, no final
+            # scatter). Chunk padding past the reservation lands in the
+            # trash block; padding inside it is overwritten by decode
+            # before valid_len covers it — the slot-cache bucket argument.
+            from flatquant_tpu.serving.paged import blocks_needed
+
+            need = blocks_needed(S, req.max_new_tokens, self.block_size)
+            blocks = self.alloc.alloc(need)
+            assert blocks is not None, "admission checked the reservation"
+            self.slot_blocks[slot] = blocks
+            self.tbl[slot, :] = 0
+            self.tbl[slot, :need] = blocks
+            cache1 = None
+        else:
+            cache1 = self._new_cache1()
         self.pending = {"slot": slot, "req": req, "toks": toks, "S": S,
                         "cache1": cache1, "ci": 0, "n": S_pad // C}
 
@@ -299,18 +348,30 @@ class ContinuousBatcher:
         chunk = p["toks"][start : start + C]
         final = p["ci"] == p["n"] - 1
         last = (p["S"] - 1 - start) if final else (C - 1)
-        logits, p["cache1"] = self._chunk_one(
-            self.sp, jnp.asarray(chunk[None, :]), p["cache1"],
-            jnp.int32(start), jnp.asarray([last], np.int32),
-        )
+        if self.cache_mode == "paged":
+            cache_in = dict(self.cache)
+            cache_in["tbl"] = self._put_tbl(
+                self.tbl[p["slot"]:p["slot"] + 1])
+            logits, cache_out = self._chunk_one(
+                self.sp, jnp.asarray(chunk[None, :]), cache_in,
+                jnp.int32(start), jnp.asarray([last], np.int32),
+            )
+            cache_out.pop("tbl")
+            self.cache = cache_out
+        else:
+            logits, p["cache1"] = self._chunk_one(
+                self.sp, jnp.asarray(chunk[None, :]), p["cache1"],
+                jnp.int32(start), jnp.asarray([last], np.int32),
+            )
         p["ci"] += 1
         if not final:
             return
         slot, req, S = p["slot"], p["req"], p["S"]
-        self.cache = {
-            key: self.cache[key].at[:, slot].set(p["cache1"][key][:, 0])
-            for key in self.cache
-        }
+        if self.cache_mode != "paged":
+            self.cache = {
+                key: self.cache[key].at[:, slot].set(p["cache1"][key][:, 0])
+                for key in self.cache
+            }
         tok = int(jnp.argmax(logits[0]))
         req.out_tokens.append(tok)
         self.slot_req[slot] = req
@@ -340,8 +401,7 @@ class ContinuousBatcher:
             # the prompt writes straight into the shared pool through this
             # slot's table — no post-hoc scatter into a slot row
             cache_in = dict(self.cache)
-            cache_in["tbl"] = jax.device_put(self.tbl[slot:slot + 1],
-                                             self._dev)
+            cache_in["tbl"] = self._put_tbl(self.tbl[slot:slot + 1])
             logits, cache_out = self._prefill_one(
                 self.sp, jnp.asarray(toks[None, :]), cache_in,
                 jnp.asarray([S - 1], np.int32),
@@ -393,7 +453,16 @@ class ContinuousBatcher:
         cache_in = self.cache
         if self.cache_mode == "paged":
             cache_in = dict(self.cache)
-            cache_in["tbl"] = jax.device_put(self.tbl, self._dev)
+            # inactive slots (no request, or a chunked prefill still in
+            # flight) decode garbage tokens by construction; route their
+            # writes to the trash block — a pending slot's table already
+            # points at real blocks holding freshly written chunk K/V,
+            # which the garbage write would otherwise clobber (the slot
+            # cache tolerates this because its staging row is overwritten
+            # by the end-of-prefill scatter)
+            mask = np.array([r is not None for r in self.slot_req])
+            cache_in["tbl"] = self._put_tbl(
+                np.where(mask[:, None], self.tbl, 0).astype(np.int32))
         logits, cache_out = self._decode_multi(
             self.sp, jnp.asarray(self.next_tok), cache_in, jnp.asarray(self.pos)
         )

@@ -442,10 +442,17 @@ def serving_layer_int4cache(
             assert getattr(pos, "ndim", 0) == 0, "paged prefill starts at 0"
             kp, kparam = write_prompt_paged(kp, kparam, kq, kpar_new, tbl)
             vp, vparam = write_prompt_paged(vp, vparam, vq, vpar_new, tbl)
+        elif phase == "chunk":
+            # chunked prefill over the paged pool: the chunk's tokens
+            # scatter through the slot's block table (chunk x paged
+            # composition, VERDICT r3 item 4)
+            from flatquant_tpu.kernels.paged_kv import write_chunk_paged
+
+            assert getattr(pos, "ndim", 0) == 0, "chunk start is a scalar"
+            kp, kparam = write_chunk_paged(kp, kparam, kq, kpar_new, tbl, pos)
+            vp, vparam = write_chunk_paged(vp, vparam, vq, vpar_new, tbl, pos)
         else:
-            assert phase == "decode" and S == 1, (
-                "paged cache supports prefill + decode (chunked prefill "
-                "runs on the slot cache)")
+            assert phase == "decode" and S == 1, phase
             pos_vec = pos if per_slot else jnp.full((B,), pos, jnp.int32)
             kp, kparam = write_token_paged(kp, kparam, kq[..., 0],
                                            kpar_new[..., 0], tbl, pos_vec)
@@ -472,6 +479,19 @@ def serving_layer_int4cache(
         from flatquant_tpu.kernels.prefill_attention import prefill_attention
 
         attn = prefill_attention(q, k, v, sm_scale, use_kernel, compute_dtype)
+    elif phase == "chunk" and tbl is not None:
+        # chunk attention over the paged pool (history + this chunk read
+        # through the block table)
+        from flatquant_tpu.kernels.paged_kv import (
+            paged_chunk_attention_int4,
+            paged_chunk_attention_ref,
+        )
+
+        pos_vec = jnp.full((B,), pos, jnp.int32)
+        chunk_fn = (paged_chunk_attention_int4 if use_kernel
+                    else paged_chunk_attention_ref)
+        attn = chunk_fn(q, kp, kparam, vp, vparam, tbl, pos_vec,
+                        sm_scale).astype(compute_dtype)
     elif phase == "chunk" and use_kernel:
         # chunked prefill on-device: the Pallas chunk kernel (FlashInfer
         # append analog) streams the packed cache once — no dequant

@@ -193,6 +193,166 @@ def test_batcher_paged_matches_int4(served):
     assert paged.cache["kp"].shape[1] == 4
 
 
+def test_write_chunk_paged_matches_prompt_write():
+    """A prompt written in chunks (traced start offsets, straddling block
+    boundaries) equals the one-shot prompt write."""
+    from flatquant_tpu.kernels.paged_kv import write_chunk_paged
+
+    B, nkv, hd, mb = 2, 2, 16, 2
+    rng = np.random.default_rng(8)
+    S = 200  # straddles the 128-token block boundary
+    k = jnp.asarray(rng.normal(size=(B, S, nkv, hd)).astype(np.float32))
+    codes, params = pack_kv_transposed(k)
+    tbl = jnp.asarray([[1, 2], [3, 4]], np.int32)
+
+    pool = init_paged_pool(1, 5, nkv, hd, BS)
+    want_c, want_p = write_prompt_paged(pool["kp"][0], pool["kparam"][0],
+                                        codes, params, tbl)
+    got_c, got_p = pool["kp"][0], pool["kparam"][0]
+    C = 80  # chunk length straddles blocks at start=80 (80+80 > 128)
+    for start in range(0, S, C):
+        n = min(C, S - start)
+        got_c, got_p = write_chunk_paged(
+            got_c, got_p, codes[..., start:start + n],
+            params[..., start:start + n], tbl, jnp.int32(start))
+    np.testing.assert_array_equal(np.asarray(got_c), np.asarray(want_c))
+    np.testing.assert_array_equal(np.asarray(got_p), np.asarray(want_p))
+
+
+def test_paged_chunk_kernel_matches_ref():
+    """Pallas paged chunk attention (interpret) == gather + masked-softmax
+    oracle, with real history before the chunk and per-row causal limits."""
+    from flatquant_tpu.kernels.paged_kv import (
+        paged_chunk_attention_int4,
+        paged_chunk_attention_ref,
+        write_chunk_paged,
+    )
+
+    B, nkv, hd, mb, nh = 2, 2, 16, 3, 4
+    S_hist, sq = 130, 64
+    kp, kparam, tbl, _, _ = _random_pool_state(
+        9, B, nkv, hd, mb, n_blocks=1 + 6, S_per_slot=[S_hist, S_hist])
+    vp, vparam, _, _, _ = _random_pool_state(
+        10, B, nkv, hd, mb, n_blocks=1 + 6, S_per_slot=[S_hist, S_hist],
+        tbl=tbl)
+    rng = np.random.default_rng(11)
+    # write the chunk's own K/V at [S_hist, S_hist + sq)
+    kc = jnp.asarray(rng.normal(size=(B, sq, nkv, hd)).astype(np.float32))
+    vc = jnp.asarray(rng.normal(size=(B, sq, nkv, hd)).astype(np.float32))
+    ck, pk = pack_kv_transposed(kc)
+    cv, pv = pack_kv_transposed(vc)
+    kp, kparam = write_chunk_paged(kp, kparam, ck, pk, tbl, jnp.int32(S_hist))
+    vp, vparam = write_chunk_paged(vp, vparam, cv, pv, tbl, jnp.int32(S_hist))
+    q = jnp.asarray(rng.normal(size=(B, sq, nh, hd)).astype(np.float32))
+    pos = jnp.full((B,), S_hist, np.int32)
+    sm = 1.0 / np.sqrt(hd)
+    want = paged_chunk_attention_ref(q, kp, kparam, vp, vparam, tbl, pos, sm)
+    got = paged_chunk_attention_int4(q, kp, kparam, vp, vparam, tbl, pos, sm,
+                                     interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_batcher_paged_chunked_matches_slot_chunked(served):
+    """chunk x paged == chunk x slot-cache bit-for-bit: the same chunked
+    decode-semantics attention, storage through the block table."""
+    cfg, fq_cfg, sp = served
+    rng = np.random.default_rng(12)
+    prompts = [rng.integers(0, cfg.vocab_size, (n,)).astype(np.int32)
+               for n in (150, 70)]
+    n_new = [5, 4]
+
+    slot = ContinuousBatcher(cfg, fq_cfg, sp, batch_slots=2, max_len=256,
+                             cache_mode="int4", prefill_chunk=64)
+    for p, n in zip(prompts, n_new):
+        slot.submit(p, n)
+    want = slot.run(max_steps=400)
+
+    paged = ContinuousBatcher(cfg, fq_cfg, sp, batch_slots=2, max_len=256,
+                              cache_mode="paged", prefill_chunk=64,
+                              n_blocks=5, block_size=BS)
+    free0 = paged.alloc.free_count
+    for p, n in zip(prompts, n_new):
+        paged.submit(p, n)
+    got = paged.run(max_steps=400)
+    assert got == want
+    assert paged.alloc.free_count == free0
+
+
+def test_batcher_paged_default_pool_is_half_capacity(served):
+    """n_blocks=0 sizes the pool at half the slots x max_len worst case
+    (the memory win), and serving still drains via deferred admission."""
+    cfg, fq_cfg, sp = served
+    rng = np.random.default_rng(13)
+    b = ContinuousBatcher(cfg, fq_cfg, sp, batch_slots=4, max_len=256,
+                          cache_mode="paged", block_size=BS)
+    full = 4 * (256 // BS)
+    assert b.cache["kp"].shape[1] == 1 + (full + 1) // 2
+    plain = ContinuousBatcher(cfg, fq_cfg, sp, batch_slots=4, max_len=256,
+                              cache_mode="int4")
+    prompts = [rng.integers(0, cfg.vocab_size, (n,)).astype(np.int32)
+               for n in (5, 130, 4, 40, 7)]
+    for p in prompts:
+        b.submit(p, 4)
+        plain.submit(p, 4)
+    assert b.run(max_steps=500) == plain.run(max_steps=500)
+
+
+def test_batcher_paged_tp_matches_single():
+    """paged x TP: the paged batcher under a tp=2 mesh (pool kv heads
+    sharded, tables replicated) reproduces the single-device paged
+    batcher exactly."""
+    from flatquant_tpu.parallel.mesh import make_mesh
+
+    cfg = get_config("tiny-llama")
+    params = init_params(cfg, seed=3)
+    params["lm_head"] = params["lm_head"] * 6.0
+    fq_cfg = W4A4KV4
+    fq = init_model_fq(cfg, fq_cfg, seed=3, tp=2)
+    baked, baked_fq = bake_model(cfg, fq_cfg, params, fq)
+    sp1 = build_serving_params(cfg, fq_cfg, baked, baked_fq,
+                               dtype=jnp.float32, merge_projections=True)
+    sp_tp = build_serving_params(cfg, fq_cfg, baked, baked_fq,
+                                 dtype=jnp.float32, merge_projections=True,
+                                 tp=2)
+    rng = np.random.default_rng(14)
+    prompts = [rng.integers(0, cfg.vocab_size, (n,)).astype(np.int32)
+               for n in (9, 140, 30)]
+
+    plain = ContinuousBatcher(cfg, fq_cfg, sp1, batch_slots=2, max_len=256,
+                              cache_mode="paged", n_blocks=5, block_size=BS)
+    for p in prompts:
+        plain.submit(p, 4)
+    want = plain.run(max_steps=400)
+
+    mesh = make_mesh({"tp": 2}, devices=jax.devices()[:2])
+    tp = ContinuousBatcher(cfg, fq_cfg, sp_tp, batch_slots=2, max_len=256,
+                           cache_mode="paged", n_blocks=5, block_size=BS,
+                           mesh=mesh)
+    for p in prompts:
+        tp.submit(p, 4)
+    got = tp.run(max_steps=400)
+    assert got == want
+
+
+def test_tp_paged_engine_parity():
+    """Engine-level paged x TP: prefill + decode over the sharded pool
+    match single-device logits (helpers shared with test_serving_tp)."""
+    import test_serving_tp as tsp
+    from flatquant_tpu.parallel.mesh import make_mesh
+
+    cfg, sp1, sp_tp = tsp._packed_pair("tiny-llama", W4A4KV4, tp=2)
+    toks = np.random.default_rng(15).integers(
+        0, cfg.vocab_size, (2, 12)).astype(np.int32)
+    ref = tsp._single_device_run(cfg, W4A4KV4, sp1, toks, "paged",
+                                 max_len=256)
+    mesh = make_mesh({"tp": 2}, devices=jax.devices()[:2])
+    out = tsp._tp_run(cfg, W4A4KV4, sp_tp, toks, "paged", 256, mesh, None)
+    for a, b in zip(ref, out):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-5, atol=1e-5)
+
+
 def test_allocator_accounting():
     a = BlockAllocator(6)
     assert a.free_count == 5
