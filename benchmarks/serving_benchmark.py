@@ -55,10 +55,18 @@ def build(cfg, perm):
 
 
 def throughput(cfg, sp, cache_mode, use_kernel, prompts, n_new, max_len):
+    """(tok/s, total tokens, KV-cache HBM bytes). The paged mode runs the
+    default half-capacity pool (serving/batcher.py) — the memory row the
+    block-table design exists for: mixed-length requests share blocks, so
+    the same workload completes in half the slot cache's KV HBM (admission
+    defers when the pool is momentarily full)."""
+    hbm = {}
+
     def one_pass():
         b = ContinuousBatcher(cfg, W4A4KV4, sp, batch_slots=4, max_len=max_len,
                               cache_mode=cache_mode, use_kernel=use_kernel,
                               compute_dtype=jnp.bfloat16, prefill_bucket=128)
+        hbm["bytes"] = sum(v.nbytes for v in jax.tree.leaves(b.cache))
         for p in prompts:
             b.submit(p, n_new)
         t0 = time.perf_counter()
@@ -68,7 +76,7 @@ def throughput(cfg, sp, cache_mode, use_kernel, prompts, n_new, max_len):
 
     one_pass()  # warm: compiles every prefill bucket + decode shape untimed
     toks, dt = one_pass()
-    return toks / dt, toks
+    return toks / dt, toks, hbm["bytes"]
 
 
 def decode_stall(cfg, sp, chunk, use_kernel, long_s, max_len):
@@ -146,9 +154,11 @@ def main():
                for n in plens]
 
     out = {"config": cfg.name, "use_kernel": use_kernel}
-    for mode in ("bf16", "int4"):
-        tps, toks = throughput(cfg, sp, mode, use_kernel, prompts, n_new, max_len)
+    for mode in ("bf16", "int4", "paged"):
+        tps, toks, hbm = throughput(cfg, sp, mode, use_kernel, prompts,
+                                    n_new, max_len)
         out[f"throughput_{mode}_tok_s"] = round(tps, 1)
+        out[f"cache_hbm_mb_{mode}"] = round(hbm / 2**20, 2)
     stall_plain, med_plain = decode_stall(cfg, sp, 0, use_kernel,
                                           args.long_s, max_len)
     stall_chunk, med_chunk = decode_stall(cfg, sp, args.chunk, use_kernel,

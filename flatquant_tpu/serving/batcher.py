@@ -205,10 +205,9 @@ class ContinuousBatcher:
             self.tbl = np.zeros((batch_slots, self._mb), np.int32)
             self.slot_blocks = [[] for _ in range(batch_slots)]
         elif mesh is None:
-            self.cache = jax.device_put(
+            self.cache = self._commit(
                 self._init_cache(cfg, batch_slots, max_len,
-                                 dtype=compute_dtype, mode=cache_mode),
-                self._dev)
+                                 dtype=compute_dtype, mode=cache_mode))
         else:
             from flatquant_tpu.parallel import serving_tp as stp
 
@@ -290,6 +289,25 @@ class ContinuousBatcher:
             else:
                 self._prefill_into_slot(slot, self.queue.pop(0))
 
+    def _commit(self, tree):
+        """Commit fresh cache buffers next to the serving params: to the
+        single device normally, or REPLICATED over the params' GSPMD mesh
+        when the caller handed pre-sharded params (the DeepSeek ep x tp
+        serving path shards packed expert weights via
+        mesh.deepseek_serving_specs and runs the batcher's plain jitted
+        programs under GSPMD — no shard_map needed; a device-0-committed
+        cache would clash with the multi-device params)."""
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        lead = jax.tree.leaves(self.sp)[0]
+        sh = getattr(lead, "sharding", None)
+        if isinstance(sh, NamedSharding) and sh.mesh.size > 1:
+            mesh = sh.mesh
+            return jax.tree.map(
+                lambda a: jax.device_put(a, NamedSharding(
+                    mesh, PartitionSpec(*([None] * a.ndim)))), tree)
+        return jax.device_put(tree, self._dev)
+
     def _put_tbl(self, arr):
         """Device copy of a host block table — replicated over the mesh
         when tensor-parallel (every shard gathers the same pool indices)."""
@@ -302,10 +320,10 @@ class ContinuousBatcher:
     def _new_cache1(self):
         """Committed single-slot prefill cache (sharded when under a mesh)."""
         if self.mesh is None:
-            return jax.device_put(
+            return self._commit(
                 self._init_cache(self.cfg, 1, self.max_len,
                                  dtype=self.compute_dtype,
-                                 mode=self.cache_mode), self._dev)
+                                 mode=self.cache_mode))
         from flatquant_tpu.parallel import serving_tp as stp
 
         c, _ = stp.make_sharded_cache(

@@ -64,6 +64,49 @@ def test_ds_batcher_matches_single_request(ds_served):
             f"req {i}: batched {results[rid]} != single {expected[i]}")
 
 
+def test_ds_batcher_under_mesh(ds_served):
+    """Packed int4 DS serving THROUGH the batcher under a dp x ep x tp
+    mesh (VERDICT r3 item 7): expert weights shard over "ep" via GSPMD
+    (mesh.deepseek_serving_specs), the batcher's plain jitted programs
+    pick the shardings up from the arrays, and greedy outputs match the
+    single-device batcher exactly."""
+    import jax
+
+    from flatquant_tpu.parallel.mesh import (
+        deepseek_serving_specs,
+        make_mesh,
+        replicated_specs,
+        shard_tree,
+    )
+
+    cfg, spfq = ds_served
+    rng = np.random.default_rng(3)
+    prompts = [rng.integers(0, cfg.vocab_size, (n,)).astype(np.int32)
+               for n in (5, 8, 4)]
+    n_new = [4, 3, 4]
+
+    plain = ContinuousBatcher(
+        cfg, W4A4, spfq, batch_slots=2, max_len=32,
+        forward_fn=ds_batch_forward, init_cache_fn=ds_init_batch_cache)
+    for p, n in zip(prompts, n_new):
+        plain.submit(p, n)
+    want = plain.run(max_steps=200)
+
+    mesh = make_mesh({"dp": 2, "ep": 2, "tp": 2},
+                     devices=jax.devices()[:8])
+    sp_sh = shard_tree(spfq["params"],
+                       deepseek_serving_specs(spfq["params"]), mesh)
+    fq_sh = shard_tree(spfq["fq"], replicated_specs(spfq["fq"]), mesh)
+    sharded = ContinuousBatcher(
+        cfg, W4A4, {"params": sp_sh, "fq": fq_sh}, batch_slots=2,
+        max_len=32, forward_fn=ds_batch_forward,
+        init_cache_fn=ds_init_batch_cache)
+    for p, n in zip(prompts, n_new):
+        sharded.submit(p, n)
+    got = sharded.run(max_steps=200)
+    assert got == want
+
+
 def test_ds_batcher_slot_reuse_and_eos(ds_served):
     cfg, spfq = ds_served
     rng = np.random.default_rng(1)
