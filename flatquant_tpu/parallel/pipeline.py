@@ -100,6 +100,153 @@ def pipeline_apply(layer_fn, mesh: Mesh, stacked_layers, x_mb,
     return run(stacked_layers, x_mb, *broadcast_args)
 
 
+def pipeline_apply_stateful(layer_fn, mesh: Mesh, stacked_layers, state,
+                            x_mb, *broadcast_args,
+                            dp_axis: Optional[str] = None):
+    """pipeline_apply for layers that carry per-layer STATE (KV caches):
+    the real-quant serving composition the reference gets from vLLM PP
+    (llama_flatquant.py:400-460 IntermediateTensors between stages, KV
+    blocks living with each stage's layers).
+
+    layer_fn(layer_slice, state_slice, x, mb_index, *broadcast_args)
+      -> (x_out, state_slice_out)
+    state: pytree with leading layer axis L, sharded P("pp") like the
+    layers — each stage OWNS its layers' cache shard; activations flow
+    between stages, caches never move. mb_index (traced int32) tells the
+    layer which microbatch is flowing so it can address that microbatch's
+    cache rows.
+
+    Bubble ticks (stage r at tick t with t - r outside [0, M)) compute on
+    don't-care data; their STATE writes are discarded by a select, so the
+    cache after the schedule equals the sequential result exactly.
+    Returns (y_mb [M, mb, ...], state_out).
+    """
+    pp = mesh.shape["pp"]
+    M = x_mb.shape[0]
+    n_layers = jax.tree.leaves(stacked_layers)[0].shape[0]
+    assert n_layers % pp == 0, f"n_layers {n_layers} % pp {pp} != 0"
+
+    x_spec = P(None, dp_axis) if dp_axis else P()
+    bcast_specs = tuple(P() for _ in broadcast_args)
+
+    def stage_scan(layers_local, st_local, x, mb_idx, args):
+        def body(carry, lp_st):
+            lp, st = lp_st
+            y, st_new = layer_fn(lp, st, carry, mb_idx, *args)
+            return y, st_new
+
+        out, st_out = jax.lax.scan(body, x, (layers_local, st_local))
+        return out, st_out
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(_stage_specs(stacked_layers), _stage_specs(state),
+                  x_spec) + bcast_specs,
+        out_specs=(x_spec, _stage_specs(state)),
+        check_vma=False,
+    )
+    def run(layers_local, st_local, xs, *args):
+        r = jax.lax.axis_index("pp")
+        recv = jnp.zeros_like(xs[0])
+        outs = []
+        fwd = [(i, (i + 1) % pp) for i in range(pp)]
+        for t in range(M + pp - 1):
+            mb_idx = jnp.clip(t - r, 0, M - 1)
+            valid = jnp.logical_and(t - r >= 0, t - r < M)
+            inj = xs[min(t, M - 1)]
+            state_in = jnp.where(r == 0, inj, recv)
+            out, st_new = stage_scan(layers_local, st_local, state_in,
+                                     mb_idx, args)
+            # bubble ticks must not touch this stage's caches
+            st_local = jax.tree.map(
+                lambda new, old: jnp.where(valid, new, old), st_new,
+                st_local)
+            outs.append(out)
+            if t < M + pp - 2:
+                recv = jax.lax.ppermute(out, "pp", fwd)
+        stacked = jnp.stack([outs[m + pp - 1] for m in range(M)])
+        y = jax.lax.psum(
+            jnp.where(r == pp - 1, stacked, jnp.zeros_like(stacked)), "pp"
+        )
+        return y, st_local
+
+    return run(stacked_layers, state, x_mb, *broadcast_args)
+
+
+def pipeline_serving_forward(cfg, fq_cfg, sp, tokens, cache, pos, phase,
+                             mesh: Mesh, n_microbatches: int = 2,
+                             use_kernel: bool = False, max_len: int = 2048,
+                             compute_dtype=jnp.bfloat16,
+                             dp_axis: Optional[str] = None):
+    """REAL-QUANT serving forward (packed int4 weights + int4 or bf16 KV
+    cache) with the layer loop pipelined over mesh axis "pp" — the
+    reference's vLLM PP serving analog (llama_flatquant.py:400-460).
+
+    sp: STACKED build_serving_params output; cache: init_cache pytree
+    (slot "bf16" or "int4" modes); tokens [B, S] with B % n_microbatches
+    == 0; pos: scalar position (prefill 0 / decode current length).
+    Returns (last-token logits [B, V], cache) — bit-identical to the
+    sequential engine (_forward) on the same inputs: the schedule only
+    reorders which device runs a layer, and bubble-tick cache writes are
+    masked out.
+    """
+    from flatquant_tpu.models.llama import rms_norm, rope_tables
+    from flatquant_tpu.serving.engine import (
+        serving_layer,
+        serving_layer_int4cache,
+    )
+
+    B, S = tokens.shape
+    M = n_microbatches
+    assert B % M == 0, f"batch {B} % microbatches {M} != 0"
+    mb = B // M
+    x = sp["embed"][tokens].astype(compute_dtype)
+    cos, sin = rope_tables(cfg, jnp.arange(max_len))
+    int4 = "kp" in cache
+
+    if int4:
+        state = (cache["kp"], cache["kparam"], cache["vp"], cache["vparam"])
+    else:
+        state = (cache["k"], cache["v"])
+
+    def layer_fn(sl, st, h, mb_idx, cos, sin):
+        # st leaves carry the FULL batch for this layer; slice out this
+        # microbatch's rows (batch axis 0 after the scan strips L)
+        sliced = jax.tree.map(
+            lambda a: jax.lax.dynamic_slice_in_dim(a, mb_idx * mb, mb, 0),
+            st)
+        if int4:
+            kp, kparam, vp, vparam = sliced
+            h, kp, kparam, vp, vparam = serving_layer_int4cache(
+                cfg, fq_cfg, sl, h, cos, sin, kp, kparam, vp, vparam, pos,
+                phase, use_kernel, compute_dtype)
+            new = (kp, kparam, vp, vparam)
+        else:
+            ck, cv = sliced
+            h, ck, cv = serving_layer(cfg, fq_cfg, sl, h, cos, sin, ck, cv,
+                                      pos, phase, use_kernel, compute_dtype)
+            new = (ck, cv)
+        st_out = jax.tree.map(
+            lambda full, part: jax.lax.dynamic_update_slice_in_dim(
+                full, part, mb_idx * mb, 0), st, new)
+        return h, st_out
+
+    x_mb = x.reshape(M, mb, S, -1)
+    y_mb, state = pipeline_apply_stateful(
+        layer_fn, mesh, sp["layers"], state, x_mb, cos, sin,
+        dp_axis=dp_axis)
+    x = y_mb.reshape(B, S, -1)
+
+    x = rms_norm(x, sp["final_norm_w"], cfg.rms_eps)
+    logits = jnp.matmul(x[:, -1], sp["lm_head"].T.astype(x.dtype))
+    if int4:
+        out_cache = dict(zip(("kp", "kparam", "vp", "vparam"), state))
+    else:
+        out_cache = dict(zip(("k", "v"), state))
+    return logits.astype(jnp.float32), out_cache
+
+
 def pipeline_llama_forward(cfg, params, tokens, mesh: Mesh,
                            n_microbatches: int = 4, fq=None, fq_cfg=None,
                            mode: str = "fp", compute_dtype=jnp.bfloat16,
