@@ -14,15 +14,18 @@ emits everything the rest of the layer needs, all in flat row-major
 layouts (zero downstream relayouts):
 
   q_rot [B, S, nh*128]   roped, rotated by Pk^{-T} (flash-ready)
-  k_rot [B, S, nkv*128]  roped, rotated by Pk (flash-ready; the prefill
+  k_rot [B, nkv, 128, S] roped, rotated by Pk, TRANSPOSED for the flash
+                         kt kernel's stationary QK operand (the prefill
                          attends UNQUANTIZED per the reference trick,
                          modeling_llama.py:125-137)
   v     [B, S, nkv*128]  passthrough (flash-ready)
-  k/v codes  [B, nkv, S, 64] u8  planar int4 nibbles (c | c+64 << 4)
-  k/v params [B, nkv, S, 2] f32  (scale, zero) per (token, head)
+  k/v codes  [B, nkv, 64, S] u8  planar int4 nibbles (c | c+64 << 4)
+  k/v params [B, nkv, 2, S] f32  (row 0 scale, row 1 zero)
 
-The codes/params go to the v4 transposed cache via one cheap XLA u8/f32
-transpose (4 MB instead of the 33 MB bf16 relayouts it replaces).
+The codes/params come out directly in the v4 TRANSPOSED cache layout
+(token index on lanes): an int32 in-kernel tile transpose before the u8
+narrowing makes every HBM write lane-full, where the r3 version wrote
+64-/2-lane token-major tiles and paid XLA transposes in the engine.
 
 Numerics are pinned op-for-op to the composed chain (rope in bf16,
 head matmuls bf16 with f32 accumulation, quantization in f32 — see
@@ -48,9 +51,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _quant_pack_head(tf, cmax, cmin):
-    """Asym int4 per token over 128 lanes; returns (codes u8 [bt, 64],
-    scale [bt, 1] f32, zero [bt, 1] f32). Math identical to
-    kv_cache.quantize_pack_kv."""
+    """Asym int4 per token over 128 lanes; returns (codes i32 [bt, 64] —
+    the caller transposes before the u8 narrowing, 32-bit transposes being
+    the supported kind — scale [bt, 1] f32, zero [bt, 1] f32). Math
+    identical to kv_cache.quantize_pack_kv."""
     tmax = jnp.maximum(jnp.max(tf, axis=-1, keepdims=True), 0.0) * cmax
     tmin = jnp.minimum(jnp.min(tf, axis=-1, keepdims=True), 0.0) * cmin
     degenerate = (tmin == 0) & (tmax == 0)
@@ -61,7 +65,7 @@ def _quant_pack_head(tf, cmax, cmin):
     q = jnp.clip(jnp.round(tf / scale) + zero, 0, 15).astype(jnp.int32)
     # planar pack: byte c = q[c] | q[c+64] << 4 (int32 math — Mosaic has
     # no u8 vector shifts)
-    byte = (q[:, :64] + q[:, 64:] * 16).astype(jnp.uint8)
+    byte = q[:, :64] + q[:, 64:] * 16
     return byte, scale, zero
 
 
@@ -116,37 +120,51 @@ def _attn_prologue_kernel(qkv_ref, cos_ref, sin_ref, rot_ref, kt_ref,
         preferred_element_type=jnp.float32).astype(q_ref.dtype)
     ungroup(qr, nh, q_ref)
 
-    kr = jax.lax.dot_general(
+    def store_quant(t, q_out, p_out, cmax, cmin):
+        # codes/params go out in the v4 TRANSPOSED cache layout (token
+        # index on lanes): the r3 version wrote token-major [nkv, bt, 64]
+        # codes and [nkv, bt, 2] params — 64- and 2-lane tiles, with the
+        # engine paying XLA transposes afterwards. The int32 in-kernel
+        # transpose is one 32-bit shuffle per tile and makes every HBM
+        # write lane-full in bt.
+        byte, scale, zero = _quant_pack_head(t.astype(jnp.float32), cmax,
+                                             cmin)
+        b3 = byte.reshape(nkv, bt, 64)
+        q_out[0] = jnp.transpose(b3, (0, 2, 1)).astype(jnp.uint8)
+        p_out[0, :, 0, :] = scale.reshape(nkv, bt)
+        p_out[0, :, 1, :] = zero.reshape(nkv, bt)
+
+    kr32 = jax.lax.dot_general(
         rope_all(grouped(qoff, nkv), nkv), kt, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32).astype(k_ref.dtype)
-    ungroup(kr, nkv, k_ref)
-    byte, scale, zero = _quant_pack_head(
-        kr.astype(jnp.float32), clip_ref[0, 0], clip_ref[0, 1])
-    kq_ref[0] = byte.reshape(nkv, bt, 64)
-    kp_ref[0, :, :, 0:1] = scale.reshape(nkv, bt, 1)
-    kp_ref[0, :, :, 1:2] = zero.reshape(nkv, bt, 1)
+        preferred_element_type=jnp.float32)
+    # K goes out TRANSPOSED [nkv, hd, bt] (f32 tile transpose, then the
+    # bf16 narrowing — same rounding as the old token-major write): the
+    # flash kt kernel's stationary QK operand then needs no per-tile
+    # Mosaic transpose (kernels/prefill_attention.py:_flash_prefill_kernel_kt)
+    k_ref[0] = jnp.transpose(
+        kr32.reshape(nkv, bt, 128), (0, 2, 1)).astype(k_ref.dtype)
+    store_quant(kr32.astype(q_ref.dtype), kq_ref, kp_ref, clip_ref[0, 0],
+                clip_ref[0, 1])
 
     vg = grouped(voff, nkv)
     ungroup(vg, nkv, v_ref)
-    byte, scale, zero = _quant_pack_head(
-        vg.astype(jnp.float32), clip_ref[0, 2], clip_ref[0, 3])
-    vq_ref[0] = byte.reshape(nkv, bt, 64)
-    vp_ref[0, :, :, 0:1] = scale.reshape(nkv, bt, 1)
-    vp_ref[0, :, :, 1:2] = zero.reshape(nkv, bt, 1)
+    store_quant(vg, vq_ref, vp_ref, clip_ref[0, 2], clip_ref[0, 3])
 
 
 @functools.partial(
     jax.jit, static_argnames=("nh", "nkv", "block_t", "interpret")
 )
 def attn_prologue(qkv, cos, sin, k_t, k_t_inv, kc_clip=None, vc_clip=None,
-                  nh: int = 32, nkv: int = 32, block_t: int = 64,
+                  nh: int = 32, nkv: int = 32, block_t: int = 128,
                   interpret: bool = None):
     """qkv [B, S, (nh + 2*nkv)*128] bf16 (merged GEMM output, head_dim
     128); cos/sin [S, 128] rope tables for positions [0, S).
 
-    Returns (q_rot [B, S, nh*128], k_rot [B, S, nkv*128],
-    v [B, S, nkv*128], k_codes [B, nkv, S, 64] u8,
-    k_params [B, nkv, S, 2] f32, v_codes, v_params).
+    Returns (q_rot [B, S, nh*128], k_rot [B, nkv, 128, S] (transposed),
+    v [B, S, nkv*128], k_codes [B, nkv, 64, S] u8,
+    k_params [B, nkv, 2, S] f32, v_codes, v_params) — codes/params in the
+    v4 TRANSPOSED cache layout (kernels/kv_cache.py), written lane-full
+    directly (no engine-side relayout).
     """
     B, S, D = qkv.shape
     hd = 128
@@ -177,12 +195,12 @@ def attn_prologue(qkv, cos, sin, k_t, k_t_inv, kc_clip=None, vc_clip=None,
         functools.partial(_attn_prologue_kernel, nh=nh, nkv=nkv),
         out_shape=(
             jax.ShapeDtypeStruct((B, S, nh * hd), qkv.dtype),
+            jax.ShapeDtypeStruct((B, nkv, hd, S), qkv.dtype),
             jax.ShapeDtypeStruct((B, S, nkv * hd), qkv.dtype),
-            jax.ShapeDtypeStruct((B, S, nkv * hd), qkv.dtype),
-            jax.ShapeDtypeStruct((B, nkv, S, hd // 2), jnp.uint8),
-            jax.ShapeDtypeStruct((B, nkv, S, 2), jnp.float32),
-            jax.ShapeDtypeStruct((B, nkv, S, hd // 2), jnp.uint8),
-            jax.ShapeDtypeStruct((B, nkv, S, 2), jnp.float32),
+            jax.ShapeDtypeStruct((B, nkv, hd // 2, S), jnp.uint8),
+            jax.ShapeDtypeStruct((B, nkv, 2, S), jnp.float32),
+            jax.ShapeDtypeStruct((B, nkv, hd // 2, S), jnp.uint8),
+            jax.ShapeDtypeStruct((B, nkv, 2, S), jnp.float32),
         ),
         grid_spec=pl.GridSpec(
             grid=grid,
@@ -205,19 +223,19 @@ def attn_prologue(qkv, cos, sin, k_t, k_t_inv, kc_clip=None, vc_clip=None,
             out_specs=(
                 pl.BlockSpec((1, bt, nh * hd), lambda b, i: (b, i, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, bt, nkv * hd), lambda b, i: (b, i, 0),
+                pl.BlockSpec((1, nkv, hd, bt), lambda b, i: (b, 0, 0, i),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, bt, nkv * hd), lambda b, i: (b, i, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, nkv, bt, hd // 2),
-                             lambda b, i: (b, 0, i, 0),
+                pl.BlockSpec((1, nkv, hd // 2, bt),
+                             lambda b, i: (b, 0, 0, i),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, nkv, bt, 2), lambda b, i: (b, 0, i, 0),
+                pl.BlockSpec((1, nkv, 2, bt), lambda b, i: (b, 0, 0, i),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, nkv, bt, hd // 2),
-                             lambda b, i: (b, 0, i, 0),
+                pl.BlockSpec((1, nkv, hd // 2, bt),
+                             lambda b, i: (b, 0, 0, i),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, nkv, bt, 2), lambda b, i: (b, 0, i, 0),
+                pl.BlockSpec((1, nkv, 2, bt), lambda b, i: (b, 0, 0, i),
                              memory_space=pltpu.VMEM),
             ),
         ),
@@ -253,10 +271,12 @@ def attn_prologue_ref(qkv, cos, sin, k_t, k_t_inv, kc_clip=None,
     v4 = v.reshape(B, S, nkv, hd)
     kq, ks, kz = quantize_pack_kv(k, kc_clip)
     vq, vs, vz = quantize_pack_kv(v4, vc_clip)
-    kpar = jnp.concatenate([ks, kz], -1).transpose(0, 2, 1, 3)
-    vpar = jnp.concatenate([vs, vz], -1).transpose(0, 2, 1, 3)
+    # v4 transposed cache layout: codes [B, nkv, hd/2, S], params
+    # [B, nkv, 2, S] (scale row 0, zero row 1)
+    kpar = jnp.concatenate([ks, kz], -1).transpose(0, 2, 3, 1)
+    vpar = jnp.concatenate([vs, vz], -1).transpose(0, 2, 3, 1)
     return (q.reshape(B, S, nh * hd).astype(qkv.dtype),
-            k.reshape(B, S, nkv * hd).astype(qkv.dtype),
+            k.transpose(0, 2, 3, 1).astype(qkv.dtype),
             v.astype(qkv.dtype),
-            kq.transpose(0, 2, 1, 3), kpar,
-            vq.transpose(0, 2, 1, 3), vpar)
+            kq.transpose(0, 2, 3, 1), kpar,
+            vq.transpose(0, 2, 3, 1), vpar)

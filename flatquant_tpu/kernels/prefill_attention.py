@@ -36,6 +36,9 @@ from flatquant_tpu.kernels.common import resolve_interpret
 from jax.experimental.pallas import tpu as pltpu
 
 
+_LOG2E = 1.4426950408889634
+
+
 def _flash_prefill_kernel(q_ref, k_ref, v_ref, o_ref, *, sm_scale, blk_q,
                           blk_k, hd, n_rep):
     """Grid: (B, nkv, n_qblk) over flat row-major views (see wrapper):
@@ -46,33 +49,48 @@ def _flash_prefill_kernel(q_ref, k_ref, v_ref, o_ref, *, sm_scale, blk_q,
     repeats K/V in HBM. MXU operands stay in the input dtype (bf16 at
     serving time runs the systolic array at full rate); softmax stats and
     the accumulator are fp32 via preferred_element_type.
+
+    VPU economy (this kernel is near VPU-bound: per score element the MXU
+    does 2*hd*2 flops but the softmax chain costs ~5-7 VPU passes, and at
+    hd=128 those rates roughly tie on v5e):
+      - sm_scale * log2(e) folds into q once per block (q is already
+        bf16, so the fold costs one extra ulp, not a precision class);
+        the softmax runs in the exp2 domain (shift-invariant, cheaper
+        transcendental) — the r3 kernel spent a full [blk_q, blk_k] f32
+        multiply per block on late scaling;
+      - the K loop splits into FULL blocks (cols all <= rows: no mask —
+        the r3 kernel paid the iota+where pass on every block) and
+        DIAGONAL blocks (elementwise causal mask). Upper-triangle blocks
+        are never visited, as before.
     """
     qi = pl.program_id(2)
-    S = k_ref.shape[1]
     mxu_dt = q_ref.dtype
     q_start = qi * blk_q
     row_pos = q_start + jax.lax.broadcasted_iota(jnp.int32, (blk_q, 1), 0)
-    # causal: only K blocks whose start <= this q block's last row
+    # blocks entirely below the diagonal need no mask; the rest straddle it
+    n_full = q_start // blk_k
     n_kblk = (q_start + blk_q + blk_k - 1) // blk_k
 
     for r in range(n_rep):
-        q = q_ref[0, :, r * hd:(r + 1) * hd]
+        q = (q_ref[0, :, r * hd:(r + 1) * hd].astype(jnp.float32)
+             * (sm_scale * _LOG2E)).astype(mxu_dt)
 
-        def body(ki, carry):
+        def tile(ki, carry, masked: bool):
             m, l, acc = carry
             k_start = ki * blk_k
             kblk = k_ref[0, pl.ds(k_start, blk_k), :]
             s = jax.lax.dot_general(
                 q, kblk, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            ) * sm_scale  # [blk_q, blk_k]; scale in fp32 after the dot
-            col_pos = k_start + jax.lax.broadcasted_iota(
-                jnp.int32, (1, blk_k), 1)
-            s = jnp.where(row_pos >= col_pos, s, -jnp.inf)
+            )  # [blk_q, blk_k], already in the log2 domain
+            if masked:
+                col_pos = k_start + jax.lax.broadcasted_iota(
+                    jnp.int32, (1, blk_k), 1)
+                s = jnp.where(row_pos >= col_pos, s, -jnp.inf)
 
             m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
-            p = jnp.exp(s - m_new)
-            corr = jnp.exp(m - m_new)
+            p = jnp.exp2(s - m_new)
+            corr = jnp.exp2(m - m_new)
             l_new = l * corr + jnp.sum(p, axis=1, keepdims=True)
             vblk = v_ref[0, pl.ds(k_start, blk_k), :]
             acc_new = acc * corr + jax.lax.dot_general(
@@ -84,7 +102,11 @@ def _flash_prefill_kernel(q_ref, k_ref, v_ref, o_ref, *, sm_scale, blk_q,
         m0 = jnp.full((blk_q, 1), -jnp.inf, jnp.float32)
         l0 = jnp.zeros((blk_q, 1), jnp.float32)
         acc0 = jnp.zeros((blk_q, hd), jnp.float32)
-        m, l, acc = jax.lax.fori_loop(0, n_kblk, body, (m0, l0, acc0))
+        carry = jax.lax.fori_loop(
+            0, n_full, lambda ki, c: tile(ki, c, masked=False),
+            (m0, l0, acc0))
+        m, l, acc = jax.lax.fori_loop(
+            n_full, n_kblk, lambda ki, c: tile(ki, c, masked=True), carry)
         out = acc / jnp.maximum(l, 1e-30)
         o_ref[0, :, r * hd:(r + 1) * hd] = out.astype(o_ref.dtype)
 
@@ -136,6 +158,92 @@ def flash_prefill_attention(q, k, v, sm_scale: float, blk_q: int = 256,
         ),
         interpret=resolve_interpret(interpret),
     )(q3, k3, v3)
+    return out.reshape(B, S, nh, hd)
+
+
+def _flash_prefill_kernel_kt(q_ref, kt_ref, v_ref, o_ref, *, sm_scale,
+                             blk_q, blk_k, hd, n_rep):
+    """_flash_prefill_kernel with K arriving TRANSPOSED [1, 1, hd, S]:
+    the QK dot's stationary operand then has its contraction dim on
+    sublanes, so Mosaic issues it without a per-tile transpose (ablation
+    2026-08-20: 530 vs 556 us at llama dims — the fused prologue emits
+    this layout for free, so the fused prefill path takes the win)."""
+    qi = pl.program_id(2)
+    mxu_dt = q_ref.dtype
+    q_start = qi * blk_q
+    row_pos = q_start + jax.lax.broadcasted_iota(jnp.int32, (blk_q, 1), 0)
+    n_full = q_start // blk_k
+    n_kblk = (q_start + blk_q + blk_k - 1) // blk_k
+
+    for r in range(n_rep):
+        q = (q_ref[0, :, r * hd:(r + 1) * hd].astype(jnp.float32)
+             * (sm_scale * _LOG2E)).astype(mxu_dt)
+
+        def tile(ki, carry, masked: bool):
+            m, l, acc = carry
+            k_start = ki * blk_k
+            kblk = kt_ref[0, 0, :, pl.ds(k_start, blk_k)]  # [hd, bk]
+            s = jax.lax.dot_general(
+                q, kblk, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            if masked:
+                col_pos = k_start + jax.lax.broadcasted_iota(
+                    jnp.int32, (1, blk_k), 1)
+                s = jnp.where(row_pos >= col_pos, s, -jnp.inf)
+            m_new = jnp.maximum(m, jnp.max(s, axis=1, keepdims=True))
+            p = jnp.exp2(s - m_new)
+            corr = jnp.exp2(m - m_new)
+            l_new = l * corr + jnp.sum(p, axis=1, keepdims=True)
+            vblk = v_ref[0, pl.ds(k_start, blk_k), :]
+            acc_new = acc * corr + jax.lax.dot_general(
+                p.astype(mxu_dt), vblk, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            return m_new, l_new, acc_new
+
+        m0 = jnp.full((blk_q, 1), -jnp.inf, jnp.float32)
+        l0 = jnp.zeros((blk_q, 1), jnp.float32)
+        acc0 = jnp.zeros((blk_q, hd), jnp.float32)
+        carry = jax.lax.fori_loop(
+            0, n_full, lambda ki, c: tile(ki, c, masked=False),
+            (m0, l0, acc0))
+        m, l, acc = jax.lax.fori_loop(
+            n_full, n_kblk, lambda ki, c: tile(ki, c, masked=True), carry)
+        out = acc / jnp.maximum(l, 1e-30)
+        o_ref[0, :, r * hd:(r + 1) * hd] = out.astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("sm_scale", "blk_q", "blk_k", "interpret")
+)
+def flash_prefill_attention_kt(q, kt, v, sm_scale: float, blk_q: int = 256,
+                               blk_k: int = 512, interpret: bool = None):
+    """flash_prefill_attention with K pre-transposed [B, nkv, hd, S]
+    (the attn_prologue output layout). q [B, S, nh, hd];
+    v [B, S, nkv, hd]."""
+    B, S, nh, hd = q.shape
+    nkv = kt.shape[1]
+    n_rep = nh // nkv
+    bq = _shrink_to_divisor(min(blk_q, S), S)
+    bk = _shrink_to_divisor(min(blk_k, S), S)
+    q3 = q.reshape(B, S, nh * hd)
+    v3 = v.reshape(B, S, nkv * hd)
+    out = pl.pallas_call(
+        functools.partial(_flash_prefill_kernel_kt, sm_scale=sm_scale,
+                          blk_q=bq, blk_k=bk, hd=hd, n_rep=n_rep),
+        out_shape=jax.ShapeDtypeStruct((B, S, nh * hd), q.dtype),
+        grid_spec=pl.GridSpec(
+            grid=(B, nkv, S // bq),
+            in_specs=[
+                pl.BlockSpec((1, bq, n_rep * hd), lambda b, h, i: (b, i, h)),
+                pl.BlockSpec((1, 1, hd, S), lambda b, h, i: (b, h, 0, 0)),
+                pl.BlockSpec((1, S, hd), lambda b, h, i: (b, 0, h)),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, bq, n_rep * hd), lambda b, h, i: (b, i, h)
+            ),
+        ),
+        interpret=resolve_interpret(interpret),
+    )(q3, kt, v3)
     return out.reshape(B, S, nh, hd)
 
 

@@ -633,7 +633,6 @@ def _fused_prefill_attention(cfg, fq_cfg, sl, x, qkv3, cos, sin, kp, kparam,
     from flatquant_tpu.kernels.attn_prologue import attn_prologue
     from flatquant_tpu.kernels.flat_pipeline import left_quant_i8_flat
     from flatquant_tpu.kernels.int4_matmul import w4a4_matmul_i8
-    from flatquant_tpu.kernels.prefill_attention import prefill_attention
 
     B, S, _ = qkv3.shape
     nh, nkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
@@ -642,31 +641,38 @@ def _fused_prefill_attention(cfg, fq_cfg, sl, x, qkv3, cos, sin, kp, kparam,
     qf, kf, vf, kq_c, kpar_c, vq_c, vpar_c = attn_prologue(
         qkv3, cos_s, sin_s, sl["k_t"], sl["k_t_inv"],
         sl.get("kc_clip"), sl.get("vc_clip"), nh=nh, nkv=nkv)
-    # token-major codes/params -> the v4 transposed cache layout (cheap
-    # u8/f32 transposes instead of the bf16 relayouts they replace)
+    # codes/params arrive in the v4 transposed cache layout already (the
+    # kernel writes lane-full; r3 paid XLA u8/f32 transposes here)
     if tbl is not None:
         from flatquant_tpu.kernels.paged_kv import write_prompt_paged
 
-        kp, kparam = write_prompt_paged(
-            kp, kparam, jnp.transpose(kq_c, (0, 1, 3, 2)),
-            jnp.transpose(kpar_c, (0, 1, 3, 2)), tbl)
-        vp, vparam = write_prompt_paged(
-            vp, vparam, jnp.transpose(vq_c, (0, 1, 3, 2)),
-            jnp.transpose(vpar_c, (0, 1, 3, 2)), tbl)
+        kp, kparam = write_prompt_paged(kp, kparam, kq_c, kpar_c, tbl)
+        vp, vparam = write_prompt_paged(vp, vparam, vq_c, vpar_c, tbl)
     else:
-        kp = jax.lax.dynamic_update_slice_in_dim(
-            kp, jnp.transpose(kq_c, (0, 1, 3, 2)), pos, axis=3)
-        kparam = jax.lax.dynamic_update_slice_in_dim(
-            kparam, jnp.transpose(kpar_c, (0, 1, 3, 2)), pos, axis=3)
-        vp = jax.lax.dynamic_update_slice_in_dim(
-            vp, jnp.transpose(vq_c, (0, 1, 3, 2)), pos, axis=3)
-        vparam = jax.lax.dynamic_update_slice_in_dim(
-            vparam, jnp.transpose(vpar_c, (0, 1, 3, 2)), pos, axis=3)
+        kp = jax.lax.dynamic_update_slice_in_dim(kp, kq_c, pos, axis=3)
+        kparam = jax.lax.dynamic_update_slice_in_dim(kparam, kpar_c, pos,
+                                                     axis=3)
+        vp = jax.lax.dynamic_update_slice_in_dim(vp, vq_c, pos, axis=3)
+        vparam = jax.lax.dynamic_update_slice_in_dim(vparam, vpar_c, pos,
+                                                     axis=3)
 
     sm_scale = 1.0 / float(np.sqrt(hd))
-    attn = prefill_attention(
-        qf.reshape(B, S, nh, hd), kf.reshape(B, S, nkv, hd),
-        vf.reshape(B, S, nkv, hd), sm_scale, use_kernel, compute_dtype)
+    # kf arrives TRANSPOSED [B, nkv, hd, S] from the prologue — the flash
+    # kt kernel consumes it directly; short prompts fall back to the
+    # dense path on the untransposed view
+    from flatquant_tpu.kernels.prefill_attention import (
+        dense_causal_attention,
+        flash_prefill_attention_kt,
+    )
+
+    q4 = qf.reshape(B, S, nh, hd)
+    v4 = vf.reshape(B, S, nkv, hd)
+    if S >= 1024 and S % 128 == 0:
+        attn = flash_prefill_attention_kt(q4, kf, v4, sm_scale)
+    else:
+        attn = dense_causal_attention(
+            q4, jnp.transpose(kf, (0, 3, 1, 2)), v4, sm_scale,
+            compute_dtype)
     # o path: head mixing (einsum ji,...) == left factor o_t.T; quant scale
     # rule identical to the serving XLA chain
     zq, zs = left_quant_i8_flat(

@@ -116,3 +116,24 @@ def test_flash_kernel_bf16_parity_interpret():
         sm, compute_dtype=jnp.float32)
     d = np.max(np.abs(np.asarray(got, np.float32) - np.asarray(want)))
     assert d < 2e-2, d
+
+
+def test_flash_kt_matches_standard(rng):
+    """The kt kernel (K pre-transposed [B, nkv, hd, S], no per-tile
+    Mosaic transpose on the QK stationary operand) computes the same
+    attention as the standard-layout kernel."""
+    from flatquant_tpu.kernels.prefill_attention import (
+        flash_prefill_attention,
+        flash_prefill_attention_kt,
+    )
+
+    B, S, nh, nkv, hd = 1, 1024, 4, 2, 64
+    q = jnp.asarray(rng.standard_normal((B, S, nh, hd)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, S, nkv, hd)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, S, nkv, hd)), jnp.float32)
+    sm = 1.0 / np.sqrt(hd)
+    want = flash_prefill_attention(q, k, v, sm, interpret=True)
+    kt = jnp.transpose(k, (0, 2, 3, 1))
+    got = flash_prefill_attention_kt(q, kt, v, sm, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=2e-5)

@@ -207,7 +207,18 @@ def main():
     v = jnp.asarray(rng.normal(size=(B, S, nkv, hd))).astype(jnp.bfloat16)
     flops = 2 * 2 * B * nh * (S * S / 2) * hd
 
+    kt = jnp.transpose(k, (0, 2, 3, 1))  # [B, nkv, hd, S]
     cases = {
+        "kt_full": (functools.partial(variant_kt, drop=()), (q, kt, v)),
+        "kt_bare": (functools.partial(
+            variant_kt, drop=("exp", "max", "sum", "corr", "mask")),
+            (q, kt, v)),
+        "kt_q512_k1024": (functools.partial(variant_kt, drop=(), bq=512,
+                                            bk=1024), (q, kt, v)),
+        "kt_q256_k1024": (functools.partial(variant_kt, drop=(), bq=256,
+                                            bk=1024), (q, kt, v)),
+        "kt_q512_k2048": (functools.partial(variant_kt, drop=(), bq=512,
+                                            bk=2048), (q, kt, v)),
         "full": (functools.partial(variant, drop=()), (q, k, v)),
         "no_exp": (functools.partial(variant, drop=("exp",)), (q, k, v)),
         "no_max": (functools.partial(variant, drop=("max",)), (q, k, v)),
