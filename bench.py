@@ -160,9 +160,11 @@ def main():
     # (REALQUANT.md 1.98-2.06x). State-carrying loop: each iteration's
     # tokens depend on the previous logits, so XLA cannot hoist the body.
     S_PRE = 2048
-    N_PRE = 32  # device prefill is ~8-10 ms; 32 chained iterations drop the
-    # ~28 ms tunnel dispatch to <1 ms/prefill (device-traced 2026-08-18:
-    # N_PRE=8 inflated both sides by 3.5 ms/prefill of dispatch)
+    N_PRE = 64  # device prefill is ~7-11 ms; 64 chained iterations drop the
+    # ~28 ms tunnel dispatch to <0.5 ms/prefill (device-traced 2026-08-18:
+    # N_PRE=8 inflated both sides by 3.5 ms/prefill of dispatch; both
+    # contenders pay the same residual, so the ratio approaches the
+    # device-side truth from below)
     ptoks0 = jnp.zeros((BATCH, S_PRE), jnp.int32)
 
     @jax.jit

@@ -208,20 +208,18 @@ def left_quant_i8_flat(left_t, x, clip=None, q_max: int = 7,
 def _swiglu_right_flat_kernel(x_ref, wpu_ref, wpg_ref, sx_ref, swu_ref,
                               swg_ref, r_ref, o_ref, *, gb):
     xu = x_ref[:]  # int8 codes [bm, K]
-    nib_u = jnp.concatenate(
-        [wpu_ref[:].astype(jnp.int32) & 0xF, wpu_ref[:].astype(jnp.int32) >> 4],
-        axis=1).astype(jnp.int8)
-    nib_g = jnp.concatenate(
-        [wpg_ref[:].astype(jnp.int32) & 0xF, wpg_ref[:].astype(jnp.int32) >> 4],
-        axis=1).astype(jnp.int8)
+    wpu = wpu_ref[0].astype(jnp.int32)  # [bn, K/2] from the [2, nh, K/2] view
+    wpg = wpg_ref[0].astype(jnp.int32)
+    nib_u = jnp.concatenate([wpu & 0xF, wpu >> 4], axis=1).astype(jnp.int8)
+    nib_g = jnp.concatenate([wpg & 0xF, wpg >> 4], axis=1).astype(jnp.int8)
     acc_u = jax.lax.dot_general(
         xu, nib_u, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32)
     acc_g = jax.lax.dot_general(
         xu, nib_g, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32)
     rowsum = jnp.sum(xu.astype(jnp.int32), axis=1, keepdims=True)
     sx = sx_ref[:]
-    u = (acc_u - 8 * rowsum).astype(jnp.float32) * sx * swu_ref[:]
-    g = (acc_g - 8 * rowsum).astype(jnp.float32) * sx * swg_ref[:]
+    u = (acc_u - 8 * rowsum).astype(jnp.float32) * sx * swu_ref[0]
+    g = (acc_g - 8 * rowsum).astype(jnp.float32) * sx * swg_ref[0]
     act = (u * (g * jax.nn.sigmoid(g))).astype(jnp.bfloat16)  # [bm, gb*128]
     r = r_ref[:]  # [128, 128] bf16 right Kronecker factor
     for gl in range(gb):
@@ -240,8 +238,8 @@ def w4a4_matmul_i8_swiglu_right(
     w_packed,
     w_scale,
     right,
-    block_m: int = 512,
-    block_n: int = 512,
+    block_m: int = 1024,
+    block_n: int = 1024,
     interpret: bool = None,
 ):
     """act[M, N/2] = group_r(silu(deq(x@gate.T)) * deq(x@up.T)) @ right,
@@ -253,35 +251,40 @@ def w4a4_matmul_i8_swiglu_right(
     assert x_q.dtype == jnp.int8 and w_packed.shape[1] * 2 == k
     assert nh % 128 == 0 and right.shape == (128, 128)
     bm = min(block_m, m)
-    units = nh // 128
-    d = max(u for u in range(1, min(units, block_n // 128) + 1)
-            if units % u == 0)
-    bn = 128 * d
+    bn = min(block_n, nh)
     gb = bn // 128
+    # ~44 MB cap under the 110 MB compiler limit: the old 11 MB cap
+    # shrank bm at K=11008 and cost ~12% of the int8 dot rate
+    # (tools/vmem_block_sweep.py 2026-08-20; v5e has 128 MB VMEM)
     while (bm * k + 2 * (bn * k // 2) + 2 * bn * k + 10 * bm * bn
-           > 11 * 2**20 and bm > 128):
+           > 44 * 2**20 and bm > 128):
         bm //= 2
-    gridj = nh // bn
-    sw = w_scale.reshape(1, n2).astype(jnp.float32)
+    # the [2, nh, K/2] view addresses up (plane 0) and gate (plane 1) with
+    # the SAME row-block index, so bn no longer needs to divide nh (the r3
+    # layout indexed gate blocks at j + nh/bn, capping bn at 256 for
+    # nh = 86*128 — its largest small 128-multiple divisor — and costing
+    # ~15% of the int8 dot rate); the N tail is a partial block
+    wr = w_packed.reshape(2, nh, k // 2)
+    sw = w_scale.reshape(2, 1, nh).astype(jnp.float32)
     sx = x_scale.reshape(m, 1).astype(jnp.float32)
 
     return pl.pallas_call(
         functools.partial(_swiglu_right_flat_kernel, gb=gb),
         out_shape=jax.ShapeDtypeStruct((m, nh), jnp.bfloat16),
         grid_spec=pl.GridSpec(
-            grid=(pl.cdiv(m, bm), gridj),
+            grid=(pl.cdiv(m, bm), pl.cdiv(nh, bn)),
             in_specs=[
                 pl.BlockSpec((bm, k), lambda i, j: (i, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((bn, k // 2), lambda i, j: (j, 0),
+                pl.BlockSpec((1, bn, k // 2), lambda i, j: (0, j, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((bn, k // 2), lambda i, j, gj=gridj: (j + gj, 0),
+                pl.BlockSpec((1, bn, k // 2), lambda i, j: (1, j, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((bm, 1), lambda i, j: (i, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, bn), lambda i, j: (0, j),
+                pl.BlockSpec((1, 1, bn), lambda i, j: (0, 0, j),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, bn), lambda i, j, gj=gridj: (0, j + gj),
+                pl.BlockSpec((1, 1, bn), lambda i, j: (1, 0, j),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((128, 128), lambda i, j: (0, 0),
                              memory_space=pltpu.VMEM),
@@ -295,5 +298,7 @@ def w4a4_matmul_i8_swiglu_right(
             bytes_accessed=m * k + n2 * k // 2 + m * nh * 2,
             transcendentals=m * nh,
         ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 2**20),
         interpret=resolve_interpret(interpret),
-    )(x_q, w_packed, w_packed, sx, sw, sw, right.astype(jnp.bfloat16))
+    )(x_q, wr, wr, sx, sw, sw, right.astype(jnp.bfloat16))

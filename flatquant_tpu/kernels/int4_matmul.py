@@ -329,10 +329,13 @@ def w4a4_matmul_i8(
     bm = min(block_m, m)
     bn = min(block_n, n)
     # VMEM budget: x block (bm*k int8) + w block (bn*k/2 u8) + unpacked
-    # nibbles (bn*k i8 working set — MUST be counted: omitting it made the
-    # down_proj shape K=11008 exceed the 16 MB scoped limit by ~1 MB
-    # depending on surrounding fusion) + acc/out (~6*bm*bn); cap at ~11 MB
-    while (bm * k + bn * k // 2 + bn * k + 6 * bm * bn > 11 * 2**20
+    # nibbles (bn*k i8 working set) + acc/out (~6*bm*bn). v5e carries
+    # 128 MB of VMEM and this chip accepts vmem_limit_bytes=110 MB, so
+    # cap the per-step set at ~44 MB (Pallas double-buffers blocked
+    # operands) — the old 11 MB cap shrank blocks at K=11008 and cost
+    # 12% (sweep 2026-08-20: down GEMM 570 -> 501 us = 98% of the int8
+    # dot rate at bm512/bn1024)
+    while (bm * k + bn * k // 2 + bn * k + 6 * bm * bn > 44 * 2**20
            and max(bm, bn) > 128):
         if bm >= bn:
             bm //= 2
@@ -364,6 +367,8 @@ def w4a4_matmul_i8(
             bytes_accessed=m * k + n * k // 2 + m * n * jnp.dtype(out_dtype).itemsize,
             transcendentals=0,
         ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 2**20),
         interpret=resolve_interpret(interpret),
     )(x_q, w_packed, sx, sw)
 
@@ -432,9 +437,10 @@ def w4a4_matmul_i8_swiglu(
     d = max(u for u in range(1, min(units, block_n // 128) + 1)
             if units % u == 0)
     bn = 128 * d
-    # VMEM: x + 2 weight blocks + 2 unpacked nibble sets + 2 int32 accs
+    # VMEM: x + 2 weight blocks + 2 unpacked nibble sets + 2 int32 accs;
+    # ~44 MB cap under the 110 MB compiler limit (see w4a4_matmul_i8)
     while (bm * k + 2 * (bn * k // 2) + 2 * bn * k + 10 * bm * bn
-           > 11 * 2**20 and bm > 128):
+           > 44 * 2**20 and bm > 128):
         bm //= 2
     gridj = nh // bn
     sw = w_scale.reshape(1, n2).astype(jnp.float32)
@@ -466,6 +472,8 @@ def w4a4_matmul_i8_swiglu(
             + m * nh * jnp.dtype(out_dtype).itemsize,
             transcendentals=m * nh,
         ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 2**20),
         interpret=resolve_interpret(interpret),
     )(x_q, w_packed, w_packed, sx, sw, sw)
 

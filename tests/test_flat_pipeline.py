@@ -105,6 +105,26 @@ def test_swiglu_right_flat_matches_grouped(rng):
                                   np.asarray(ungroup_layout(grp), np.float32))
 
 
+def test_swiglu_right_flat_partial_tail(rng):
+    """bn that does NOT divide nh (the [2, nh, K/2] weight view frees the
+    block size; nh = 3*128 with bn = 256 leaves a 128-wide tail block):
+    results must equal the bn=nh single-block run exactly."""
+    m, gin = 128, 2
+    k, nh = gin * 128, 3 * 128
+    w = jnp.asarray(rng.integers(-8, 8, (2 * nh, k)), jnp.int8)
+    wp = pack_weight_planar(w)
+    sw = jnp.asarray(rng.uniform(0.01, 0.05, (2 * nh,)), jnp.float32)
+    xq = jnp.asarray(rng.integers(-8, 8, (m, k)), jnp.int8)
+    xs = jnp.asarray(rng.uniform(0.1, 1.0, (m, 1)), jnp.float32)
+    right = jnp.asarray(random_orthogonal(128, rng), jnp.bfloat16)
+    want = w4a4_matmul_i8_swiglu_right(xq, xs, wp, sw, right,
+                                       block_n=nh, interpret=True)
+    got = w4a4_matmul_i8_swiglu_right(xq, xs, wp, sw, right,
+                                      block_n=256, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got, np.float32),
+                                  np.asarray(want, np.float32))
+
+
 def test_engine_fused_flat_vs_composed():
     """Engine-level: the fused flat path (use_kernel=True, auto-interpret
     on CPU) matches the composed XLA path on a config whose transforms
