@@ -11,12 +11,14 @@ kv_cache.py:206-225) with a uniform-page-count-per-batch restriction
     on the host (serving/paged.py BlockAllocator); HBM cost is
     proportional to *allocated* blocks, not slots x max_len
   - the decode kernel gathers blocks through the table with scalar-
-    prefetch index maps: grid (B, nkv, max_blocks), block s of slot b
-    fetches pool block table[b, s]. Table entries past the slot's last
-    valid block are CLAMPED to the last valid index — Pallas elides the
-    DMA when consecutive grid steps map to the same block, so unused
-    table tail entries cost neither bandwidth nor (masked) flops beyond
-    one revisit of an already-resident block.
+    prefetch index maps: grid (B, max_blocks), block s of slot b fetches
+    pool block table[b, s] for ALL kv heads at once (a block's
+    every-head data is contiguous in the pool — one ~0.5 MB DMA, not
+    nkv 16 KB ones). Table entries past the slot's last valid block are
+    CLAMPED to the last valid index — Pallas elides the DMA when
+    consecutive grid steps map to the same block, so unused table tail
+    entries cost neither bandwidth nor (masked) flops beyond one revisit
+    of an already-resident block.
 
 Numerics are identical to kernels/kv_cache.py v4 (same asym-int4
 quantization, same algebraic-dequant online softmax), so slot-cache and
@@ -137,16 +139,20 @@ def write_token_paged(pool_c, pool_p, codes1, params1, tbl, pos):
 # ---------------------------------------------------------------------------
 
 
-def _paged_decode_kernel(tbl_ref, valid_ref, q_ref, kp_ref, kpar_ref, vp_ref,
-                         vpar_ref, o_ref, m_ref, l_ref, acc_ref, zacc_ref, *,
-                         sm_scale, bs):
-    """Grid (B, nkv, max_blocks), blocks innermost (sequential). Data
-    blocks arrive already gathered through the table by the index maps;
-    this body is the v4 online-softmax step with sequence ids derived
-    from the LOGICAL block index (program_id), not the pool index."""
+def _paged_decode_kernel(tbl_ref, valid_ref, q_ref, kp_ref, kpar_ref,
+                         vp_ref, vpar_ref, o_ref, m_ref, l_ref, acc_ref,
+                         zacc_ref, *, sm_scale, bs, nkv):
+    """Grid (B, max_blocks), blocks innermost (sequential). Each step
+    fetches ONE pool block for ALL kv heads — the pool layout
+    [nb, nkv, hd/2, bs] makes a block's every-head data contiguous, so
+    the gather is one ~0.5 MB DMA per block instead of the r3 design's
+    nkv separate 16 KB DMAs (grid (B, nkv, mb)), whose issue latency
+    serialized (device: 270-290 us vs the slot kernel's 36.6 us at
+    S=4096). Head dots batch through dot_general batch dims; sequence
+    ids derive from the LOGICAL block index."""
     b = pl.program_id(0)
-    si = pl.program_id(2)
-    n_blk = pl.num_programs(2)
+    si = pl.program_id(1)
+    n_blk = pl.num_programs(1)
     valid = valid_ref[b]
 
     @pl.when(si == 0)
@@ -160,44 +166,46 @@ def _paged_decode_kernel(tbl_ref, valid_ref, q_ref, kp_ref, kpar_ref, vp_ref,
     # by the clamped index map; scores would be fully masked anyway)
     @pl.when(si * bs < valid)
     def _step():
-        q = q_ref[0, 0].astype(jnp.float32)  # [n_rep, hd]
-        qsum = jnp.sum(q, axis=1, keepdims=True)
+        q = q_ref[0].astype(jnp.float32)  # [nkv, n_rep, hd]
+        qsum = jnp.sum(q, axis=2, keepdims=True)  # [nkv, n_rep, 1]
 
-        kp = kp_ref[0, 0].astype(jnp.int32)  # [hd/2, bs]
-        ck = jnp.concatenate([kp & 0xF, kp >> 4], axis=0).astype(jnp.float32)
+        kp = kp_ref[0].astype(jnp.int32)  # [nkv, hd/2, bs]
+        ck = jnp.concatenate([kp & 0xF, kp >> 4],
+                             axis=1).astype(jnp.float32)  # [nkv, hd, bs]
         raw = jax.lax.dot_general(
-            q, ck, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        ksc = kpar_ref[0, 0, 0:1, :]
-        kzr = kpar_ref[0, 0, 1:2, :]
+            q, ck, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)  # [nkv, n_rep, bs]
+        ksc = kpar_ref[0, :, 0:1, :]  # [nkv, 1, bs]
+        kzr = kpar_ref[0, :, 1:2, :]
         sc = (raw - qsum * kzr) * ksc * sm_scale
-        ids = si * bs + jax.lax.broadcasted_iota(jnp.int32, (1, bs), 1)
+        ids = si * bs + jax.lax.broadcasted_iota(jnp.int32, (1, 1, bs), 2)
         sc = jnp.where(ids < valid, sc, -jnp.inf)
 
-        m_prev = m_ref[...]
+        m_prev = m_ref[...]  # [nkv, n_rep, 1]
         m_new = jnp.maximum(
-            jnp.maximum(m_prev, jnp.max(sc, axis=1, keepdims=True)), -1e30)
+            jnp.maximum(m_prev, jnp.max(sc, axis=2, keepdims=True)), -1e30)
         p = jnp.exp(sc - m_new)
         corr = jnp.exp(m_prev - m_new)
         m_ref[...] = m_new
-        l_ref[...] = l_ref[...] * corr + jnp.sum(p, axis=1, keepdims=True)
+        l_ref[...] = l_ref[...] * corr + jnp.sum(p, axis=2, keepdims=True)
 
-        vsc = vpar_ref[0, 0, 0:1, :]
-        vzr = vpar_ref[0, 0, 1:2, :]
-        p_s = p * vsc
-        vp = vp_ref[0, 0].astype(jnp.int32)
-        cv = jnp.concatenate([vp & 0xF, vp >> 4], axis=0).astype(jnp.float32)
+        vsc = vpar_ref[0, :, 0:1, :]
+        vzr = vpar_ref[0, :, 1:2, :]
+        p_s = p * vsc  # [nkv, n_rep, bs]
+        vp = vp_ref[0].astype(jnp.int32)
+        cv = jnp.concatenate([vp & 0xF, vp >> 4],
+                             axis=1).astype(jnp.float32)  # [nkv, hd, bs]
         pv = jax.lax.dot_general(
-            p_s, cv, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
+            p_s, cv, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)  # [nkv, n_rep, hd]
         acc_ref[...] = acc_ref[...] * corr + pv
         zacc_ref[...] = zacc_ref[...] * corr + jnp.sum(
-            p_s * vzr, axis=1, keepdims=True)
+            p_s * vzr, axis=2, keepdims=True)
 
     @pl.when(si == n_blk - 1)
     def _fin():
         l = jnp.maximum(l_ref[...], 1e-30)
-        o_ref[0, 0] = ((acc_ref[...] - zacc_ref[...]) / l).astype(o_ref.dtype)
+        o_ref[0] = ((acc_ref[...] - zacc_ref[...]) / l).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("sm_scale", "interpret"))
@@ -209,9 +217,11 @@ def paged_decode_attention_int4(q, kp, kparam, vp, vparam, tbl, valid_len,
     [nb, nkv, hd/2, bs] uint8 pools; kparam/vparam [nb, nkv, 2, bs] fp32;
     tbl [B, max_blocks] int32; valid_len [B] int32. Returns [B, nh, hd].
 
-    Unallocated table tails are clamped to the slot's last valid block in
-    the index map, so their fetches are elided (consecutive identical
-    block indices) and their grid steps skip compute (pl.when).
+    Each grid step gathers one pool block for every kv head in a single
+    DMA (see _paged_decode_kernel); unallocated table tails are clamped
+    to the slot's last valid block in the index map, so their fetches are
+    elided (consecutive identical block indices) and their grid steps
+    skip compute (pl.when).
     """
     nb, nkv, hdh, bs = kp.shape
     hd = hdh * 2
@@ -220,31 +230,32 @@ def paged_decode_attention_int4(q, kp, kparam, vp, vparam, tbl, valid_len,
     mb = tbl.shape[1]
     qg = q.reshape(B, nkv, n_rep, hd)
 
-    def blk_idx(b, h, s, tbl_ref, valid_ref):
+    def blk_idx(b, s, tbl_ref, valid_ref):
         last = jnp.maximum(valid_ref[b] - 1, 0) // bs
-        return (tbl_ref[b, jnp.minimum(s, last)], h, 0, 0)
+        return (tbl_ref[b, jnp.minimum(s, last)], 0, 0, 0)
 
     out = pl.pallas_call(
-        functools.partial(_paged_decode_kernel, sm_scale=sm_scale, bs=bs),
+        functools.partial(_paged_decode_kernel, sm_scale=sm_scale, bs=bs,
+                          nkv=nkv),
         out_shape=jax.ShapeDtypeStruct((B, nkv, n_rep, hd), q.dtype),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
-            grid=(B, nkv, mb),
+            grid=(B, mb),
             in_specs=[
-                pl.BlockSpec((1, 1, n_rep, hd),
-                             lambda b, h, s, *_: (b, h, 0, 0)),
-                pl.BlockSpec((1, 1, hdh, bs), blk_idx),
-                pl.BlockSpec((1, 1, 2, bs), blk_idx),
-                pl.BlockSpec((1, 1, hdh, bs), blk_idx),
-                pl.BlockSpec((1, 1, 2, bs), blk_idx),
+                pl.BlockSpec((1, nkv, n_rep, hd),
+                             lambda b, s, *_: (b, 0, 0, 0)),
+                pl.BlockSpec((1, nkv, hdh, bs), blk_idx),
+                pl.BlockSpec((1, nkv, 2, bs), blk_idx),
+                pl.BlockSpec((1, nkv, hdh, bs), blk_idx),
+                pl.BlockSpec((1, nkv, 2, bs), blk_idx),
             ],
-            out_specs=pl.BlockSpec((1, 1, n_rep, hd),
-                                   lambda b, h, s, *_: (b, h, 0, 0)),
+            out_specs=pl.BlockSpec((1, nkv, n_rep, hd),
+                                   lambda b, s, *_: (b, 0, 0, 0)),
             scratch_shapes=[
-                pltpu.VMEM((n_rep, 1), jnp.float32),   # m
-                pltpu.VMEM((n_rep, 1), jnp.float32),   # l
-                pltpu.VMEM((n_rep, hd), jnp.float32),  # acc
-                pltpu.VMEM((n_rep, 1), jnp.float32),   # zacc
+                pltpu.VMEM((nkv, n_rep, 1), jnp.float32),   # m
+                pltpu.VMEM((nkv, n_rep, 1), jnp.float32),   # l
+                pltpu.VMEM((nkv, n_rep, hd), jnp.float32),  # acc
+                pltpu.VMEM((nkv, n_rep, 1), jnp.float32),   # zacc
             ],
         ),
         interpret=resolve_interpret(interpret),
@@ -255,15 +266,15 @@ def paged_decode_attention_int4(q, kp, kparam, vp, vparam, tbl, valid_len,
 
 def _paged_chunk_kernel(tbl_ref, pos_ref, q_ref, kp_ref, kpar_ref, vp_ref,
                         vpar_ref, o_ref, m_ref, l_ref, acc_ref, zacc_ref, *,
-                        sm_scale, bs, sq):
-    """Grid (B, nkv, max_blocks); the v4 chunk-attention body
-    (kv_cache._chunk_kernel_v4: q rows are (n_rep, Sq) flattened, row r
-    attends ids <= pos + r % Sq) with data blocks gathered through the
-    block table by the index maps and sequence ids derived from the
-    LOGICAL block index."""
+                        sm_scale, bs, sq, nkv):
+    """Grid (B, max_blocks); the v4 chunk-attention math (q rows are
+    (n_rep, Sq) flattened per head, row r attends ids <= pos + r % Sq)
+    with ONE whole-block all-heads gather per step (the decode kernel's
+    wave structure — a block's every-head data is contiguous in the
+    pool) and head dots batched through dot_general batch dims."""
     b = pl.program_id(0)
-    si = pl.program_id(2)
-    n_blk = pl.num_programs(2)
+    si = pl.program_id(1)
+    n_blk = pl.num_programs(1)
     pos = pos_ref[b]
 
     @pl.when(si == 0)
@@ -277,46 +288,48 @@ def _paged_chunk_kernel(tbl_ref, pos_ref, q_ref, kp_ref, kpar_ref, vp_ref,
     # by the clamped index map)
     @pl.when(si * bs <= pos + sq - 1)
     def _step():
-        q = q_ref[0, 0].astype(jnp.float32)  # [R, hd]
-        R = q.shape[0]
-        qsum = jnp.sum(q, axis=1, keepdims=True)
+        q = q_ref[0].astype(jnp.float32)  # [nkv, R, hd]
+        R = q.shape[1]
+        qsum = jnp.sum(q, axis=2, keepdims=True)
 
-        kp = kp_ref[0, 0].astype(jnp.int32)  # [hd/2, bs]
-        ck = jnp.concatenate([kp & 0xF, kp >> 4], axis=0).astype(jnp.float32)
+        kp = kp_ref[0].astype(jnp.int32)  # [nkv, hd/2, bs]
+        ck = jnp.concatenate([kp & 0xF, kp >> 4],
+                             axis=1).astype(jnp.float32)
         raw = jax.lax.dot_general(
-            q, ck, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        ksc = kpar_ref[0, 0, 0:1, :]
-        kzr = kpar_ref[0, 0, 1:2, :]
+            q, ck, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)  # [nkv, R, bs]
+        ksc = kpar_ref[0, :, 0:1, :]
+        kzr = kpar_ref[0, :, 1:2, :]
         sc = (raw - qsum * kzr) * ksc * sm_scale
-        ids = si * bs + jax.lax.broadcasted_iota(jnp.int32, (1, bs), 1)
-        row_q = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0) % sq
+        ids = si * bs + jax.lax.broadcasted_iota(jnp.int32, (1, 1, bs), 2)
+        row_q = jax.lax.broadcasted_iota(jnp.int32, (1, R, 1), 1) % sq
         sc = jnp.where(ids <= pos + row_q, sc, -jnp.inf)
 
         m_prev = m_ref[...]
         m_new = jnp.maximum(
-            jnp.maximum(m_prev, jnp.max(sc, axis=1, keepdims=True)), -1e30)
+            jnp.maximum(m_prev, jnp.max(sc, axis=2, keepdims=True)), -1e30)
         p = jnp.exp(sc - m_new)
         corr = jnp.exp(m_prev - m_new)
         m_ref[...] = m_new
-        l_ref[...] = l_ref[...] * corr + jnp.sum(p, axis=1, keepdims=True)
+        l_ref[...] = l_ref[...] * corr + jnp.sum(p, axis=2, keepdims=True)
 
-        vsc = vpar_ref[0, 0, 0:1, :]
-        vzr = vpar_ref[0, 0, 1:2, :]
+        vsc = vpar_ref[0, :, 0:1, :]
+        vzr = vpar_ref[0, :, 1:2, :]
         p_s = p * vsc
-        vp = vp_ref[0, 0].astype(jnp.int32)
-        cv = jnp.concatenate([vp & 0xF, vp >> 4], axis=0).astype(jnp.float32)
+        vp = vp_ref[0].astype(jnp.int32)
+        cv = jnp.concatenate([vp & 0xF, vp >> 4],
+                             axis=1).astype(jnp.float32)
         pv = jax.lax.dot_general(
-            p_s, cv, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
+            p_s, cv, (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)  # [nkv, R, hd]
         acc_ref[...] = acc_ref[...] * corr + pv
         zacc_ref[...] = zacc_ref[...] * corr + jnp.sum(
-            p_s * vzr, axis=1, keepdims=True)
+            p_s * vzr, axis=2, keepdims=True)
 
     @pl.when(si == n_blk - 1)
     def _fin():
         l = jnp.maximum(l_ref[...], 1e-30)
-        o_ref[0, 0] = ((acc_ref[...] - zacc_ref[...]) / l).astype(o_ref.dtype)
+        o_ref[0] = ((acc_ref[...] - zacc_ref[...]) / l).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("sm_scale", "interpret"))
@@ -329,9 +342,9 @@ def paged_chunk_attention_int4(q, kp, kparam, vp, vparam, tbl, pos,
     q [B, Sq, nh, hd] (chunk queries, already rope'd/k-space-rotated);
     kp/vp [nb, nkv, hd/2, bs] pools holding history AND this chunk's
     already-written K/V; tbl [B, max_blocks]; pos [B] int32 chunk start.
-    Returns [B, Sq, nh, hd] in q.dtype. Table tails clamp to the last
-    block the chunk touches, so their fetches are elided and their grid
-    steps skip compute."""
+    Returns [B, Sq, nh, hd] in q.dtype. One whole-block all-heads DMA
+    per grid step; table tails clamp to the last block the chunk
+    touches, so their fetches are elided and their steps skip compute."""
     nb, nkv, hdh, bs = kp.shape
     hd = hdh * 2
     B, sq, nh, _ = q.shape
@@ -341,34 +354,36 @@ def paged_chunk_attention_int4(q, kp, kparam, vp, vparam, tbl, pos,
     qg = qg.reshape(B, nkv, n_rep * sq, hd)
     R = n_rep * sq
 
-    def blk_idx(b, h, s, tbl_ref, pos_ref):
+    def blk_idx(b, s, tbl_ref, pos_ref):
         last = (pos_ref[b] + sq - 1) // bs
-        return (tbl_ref[b, jnp.minimum(s, last)], h, 0, 0)
+        return (tbl_ref[b, jnp.minimum(s, last)], 0, 0, 0)
 
     out = pl.pallas_call(
         functools.partial(_paged_chunk_kernel, sm_scale=sm_scale, bs=bs,
-                          sq=sq),
+                          sq=sq, nkv=nkv),
         out_shape=jax.ShapeDtypeStruct((B, nkv, R, hd), q.dtype),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
-            grid=(B, nkv, mb),
+            grid=(B, mb),
             in_specs=[
-                pl.BlockSpec((1, 1, R, hd),
-                             lambda b, h, s, *_: (b, h, 0, 0)),
-                pl.BlockSpec((1, 1, hdh, bs), blk_idx),
-                pl.BlockSpec((1, 1, 2, bs), blk_idx),
-                pl.BlockSpec((1, 1, hdh, bs), blk_idx),
-                pl.BlockSpec((1, 1, 2, bs), blk_idx),
+                pl.BlockSpec((1, nkv, R, hd),
+                             lambda b, s, *_: (b, 0, 0, 0)),
+                pl.BlockSpec((1, nkv, hdh, bs), blk_idx),
+                pl.BlockSpec((1, nkv, 2, bs), blk_idx),
+                pl.BlockSpec((1, nkv, hdh, bs), blk_idx),
+                pl.BlockSpec((1, nkv, 2, bs), blk_idx),
             ],
-            out_specs=pl.BlockSpec((1, 1, R, hd),
-                                   lambda b, h, s, *_: (b, h, 0, 0)),
+            out_specs=pl.BlockSpec((1, nkv, R, hd),
+                                   lambda b, s, *_: (b, 0, 0, 0)),
             scratch_shapes=[
-                pltpu.VMEM((R, 1), jnp.float32),   # m
-                pltpu.VMEM((R, 1), jnp.float32),   # l
-                pltpu.VMEM((R, hd), jnp.float32),  # acc
-                pltpu.VMEM((R, 1), jnp.float32),   # zacc
+                pltpu.VMEM((nkv, R, 1), jnp.float32),   # m
+                pltpu.VMEM((nkv, R, 1), jnp.float32),   # l
+                pltpu.VMEM((nkv, R, hd), jnp.float32),  # acc
+                pltpu.VMEM((nkv, R, 1), jnp.float32),   # zacc
             ],
         ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 2**20),
         interpret=resolve_interpret(interpret),
     )(tbl.astype(jnp.int32), pos.astype(jnp.int32), qg, kp, kparam, vp,
       vparam)
