@@ -24,14 +24,15 @@ Numerics are identical to kernels/kv_cache.py v4 (same asym-int4
 quantization, same algebraic-dequant online softmax), so slot-cache and
 paged-cache serving agree bit-for-bit; tested in tests/test_paged_kv.py.
 
-Block-size tradeoff (device-measured in kv_cache.py's block sweep): the
-per-grid-step overhead dominates below ~2048 tokens/block, so a single
-long sequence decodes slower through 256-token pages than through the
-monolithic v4 slot cache. Paging wins on MEMORY (mixed-length batches
-share the pool; a finished request's blocks free immediately) and on
-mixed batches (the slot cache DMAs all S rows for every slot; the paged
-kernel reads only allocated blocks). serving/paged.py documents the
-crossover; both cache modes stay first-class.
+Performance (device, B=1 S=4096 llama dims, trace-timed): 31.2 us /
+605 GB/s — FASTER than the monolithic slot-cache kernel (36.6 us),
+because the whole-block all-heads read is one fully contiguous DMA where
+the slot cache reads per-head strided spans. (The r3 design fetched
+per-(head, block) 16 KB tiles on a (B, nkv, mb) grid and ran 270-290 us;
+the r4 rewrite is the grid/DMA restructure described above.) Paging also
+wins on MEMORY: mixed-length batches share the pool, a finished
+request's blocks free immediately, and the kernel reads only allocated
+blocks where the slot cache DMAs all S rows for every slot.
 """
 
 from __future__ import annotations
