@@ -19,6 +19,14 @@ if "xla_force_host_platform_device_count" not in _flags:
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+# persistent compilation cache: warm reruns skip nearly every XLA:CPU
+# compile — faster, and it sidesteps an upstream compiler crash (abort/
+# segfault in backend_compile_and_load) that a long-lived pytest process
+# hits after ~130 tests' accumulated compilations (the big sharded
+# compiles in test_parallel are the usual victims; each passes cleanly
+# in isolation — also observed by the r3 review)
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import numpy as np
 import pytest

@@ -28,6 +28,20 @@ from flatquant_tpu.models.loader import (
 
 torch = pytest.importorskip("torch")
 
+
+def _load_cli():
+    """Import THIS repo's main.py by path — a bare `import main` can be
+    shadowed by other repos on sys.path (the reference has a main.py
+    too, appended by the parity harness at collection time)."""
+    import importlib.util
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "flatquant_tpu_cli", os.path.join(root, "main.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
 FIX_LLAMA = LlamaConfig(
     name="fixture-llama", vocab_size=256, hidden_size=64,
     intermediate_size=128, num_layers=2, num_heads=4, num_kv_heads=2,
@@ -81,7 +95,7 @@ def test_native_bf16_widening_matches_torch(llama_dir):
 def test_main_end_to_end_llama(llama_dir, tmp_path):
     """main.py --hf_path: native reader -> calib (1 epoch) -> bake -> RTN
     -> PPL -> packed int4 export -> generate, all on the fixture."""
-    import main as cli
+    cli = _load_cli()
 
     out = str(tmp_path / "out")
     cli.main([
@@ -113,7 +127,7 @@ def test_main_end_to_end_llama(llama_dir, tmp_path):
 def test_main_end_to_end_qwen(qwen_dir, tmp_path):
     """Qwen-style fixture (qkv bias + tied embeddings) through the same
     pipeline — the bias path and the no-lm_head path."""
-    import main as cli
+    cli = _load_cli()
 
     out = str(tmp_path / "out")
     cli.main([

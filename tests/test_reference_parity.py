@@ -42,7 +42,11 @@ torch = pytest.importorskip("torch")
 
 REF_PATH = "/root/reference"
 if REF_PATH not in sys.path:
-    sys.path.insert(0, REF_PATH)
+    # APPEND, never insert at 0: the reference repo has its own main.py
+    # (and other top-level names) which would otherwise shadow OUR
+    # main.py for every later test in the same pytest process — pytest
+    # imports this module at collection time even when -m deselects it
+    sys.path.append(REF_PATH)
 
 # reference modules assume a CUDA device exists; run them on CPU
 torch.Tensor.cuda = lambda self, *a, **k: self  # noqa: E731
