@@ -185,6 +185,19 @@ def collect_rooflines(sweep: bool = True):
     out["flash_prefill_attention_s2048"] = _row(
         t, flops / t / 1e12, BF16_TFLOPS, "TFLOPs")
 
+    # the kt variant (K pre-transposed, what the fused serving path runs;
+    # the transpose is free there — the prologue emits that layout)
+    from flatquant_tpu.kernels.prefill_attention import (
+        flash_prefill_attention_kt,
+    )
+
+    kt2 = jnp.transpose(kp2, (0, 2, 3, 1))
+    t = measure_device(
+        lambda *a: flash_prefill_attention_kt(*a, sm),
+        (qp, kt2, vp2), name="flash_prefill_kt")
+    out["flash_prefill_kt_s2048"] = _row(
+        t, flops / t / 1e12, BF16_TFLOPS, "TFLOPs")
+
     # --- 5. flat-pipeline: rmsnorm + right factor (HBM-stream bound) ---
     H = 4096
     xh = jnp.asarray(rng.normal(size=(S2, H))).astype(jnp.bfloat16)

@@ -126,6 +126,7 @@ def serving_layer(
     use_kernel: bool,
     compute_dtype=jnp.bfloat16,
     tp_axis=None,
+    attn_fn=None,
 ):
     """One quantized decoder layer.
 
@@ -238,11 +239,20 @@ def serving_layer(
     if phase == "prefill":
         # attend over the *unquantized* transformed k/v (reference prefill
         # accuracy trick), causal within the prompt; long prompts route
-        # through flash (O(S*blk) memory) — reference flash-attn2 analog
-        from flatquant_tpu.kernels.prefill_attention import prefill_attention
+        # through flash (O(S*blk) memory) — reference flash-attn2 analog.
+        # attn_fn overrides the local dispatch (sequence-parallel serving
+        # passes ring_attention here; the k/v just written to the local
+        # cache shard are exactly this rank's chunk)
+        if attn_fn is not None:
+            attn = attn_fn(q, k, v, 1.0 / float(np.sqrt(hd))).astype(
+                compute_dtype)
+        else:
+            from flatquant_tpu.kernels.prefill_attention import (
+                prefill_attention,
+            )
 
-        attn = prefill_attention(q, k, v, 1.0 / float(np.sqrt(hd)),
-                                 use_kernel, compute_dtype)
+            attn = prefill_attention(q, k, v, 1.0 / float(np.sqrt(hd)),
+                                     use_kernel, compute_dtype)
     else:
         # decode, or a chunked-prefill "chunk" (S > 1 starting at pos):
         # attend over the cache — decode semantics generalized to S query
