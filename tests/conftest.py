@@ -41,7 +41,7 @@ jax.config.update("jax_platforms", "cpu")
 # compiles in test_parallel are the usual victims; each passes cleanly
 # in isolation — also observed by the r3 review)
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
 
 import numpy as np
 import pytest

@@ -80,6 +80,10 @@ def test_graft_dryrun_multichip_subprocess():
         "os.environ['XLA_FLAGS']=os.environ.get('XLA_FLAGS','')"
         "+' --xla_force_host_platform_device_count=8';"
         "import jax; jax.config.update('jax_platforms','cpu');"
+        "jax.config.update('jax_compilation_cache_dir',"
+        "'/tmp/jax_test_cache');"
+        "jax.config.update('jax_persistent_cache_min_compile_time_secs',"
+        "0.1);"
         "import __graft_entry__ as g; g.dryrun_multichip(8)"
     )
     env = dict(os.environ)
