@@ -33,6 +33,7 @@ from typing import Dict
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 from flatquant_tpu.models.deepseek import DeepSeekConfig, fp8_block_dequant
@@ -107,14 +108,21 @@ def ds_config_from_hf_json(path: str, name: str = "deepseek-hf",
     return DeepSeekConfig(**kw)
 
 
-def _iter_hf_tensors(path: str, use_native: bool = True):
+def _iter_hf_tensors(path: str, use_native: bool = True,
+                     keep_fp8: bool = False):
     """Yield (name, numpy fp32/int array) from all shards, fusing
     `weight_scale_inv` into its fp8 weight via fp8_block_dequant.
 
     Default path: the torch-free mmap reader + threaded C++ converters
     (native/safetensors_io.py) — fp8 bytes dequantize straight off the
     mmap in one fused pass. Fallback: safetensors.safe_open + torch as a
-    dtype bridge (the only numpy-visible route to float8)."""
+    dtype bridge (the only numpy-visible route to float8).
+
+    keep_fp8=True: fp8 tensors are NOT dequantized — they yield
+    `(raw_u8 [N, K], scales [so, si])` tuples so build-time can keep the
+    checkpoint's ORIGINAL codes for the native-FP8 serving path
+    (kernels/fp8_matmul; reference deepseek_v3/kernel.py:108-191 keeps
+    fp8 resident too)."""
     files = sorted(glob.glob(os.path.join(path, "*.safetensors")))
     if not files:
         raise FileNotFoundError(f"no *.safetensors under {path}")
@@ -136,7 +144,14 @@ def _iter_hf_tensors(path: str, use_native: bool = True):
                         continue
                     snm = nm + "_scale_inv"
                     if snm in scales:
-                        yield nm, sf.fp8_tensor_dequant(nm, scales[snm])
+                        if keep_fp8:
+                            raw, tag = sf.raw(nm)
+                            assert tag == "F8_E4M3", (nm, tag)
+                            arr = raw.copy()
+                            del raw  # view into the mmap; must die pre-close
+                            yield nm, (arr, scales[snm])
+                        else:
+                            yield nm, sf.fp8_tensor_dequant(nm, scales[snm])
                     else:
                         yield nm, sf.tensor_f32(nm)
         return
@@ -158,6 +173,10 @@ def _iter_hf_tensors(path: str, use_native: bool = True):
                 t = sf.get_tensor(nm)
                 snm = nm + "_scale_inv"
                 if snm in scales:
+                    if keep_fp8:
+                        yield nm, (t.view(torch.uint8).numpy().copy(),
+                                   scales[snm])
+                        continue
                     w = np.asarray(
                         fp8_block_dequant(
                             jnp.asarray(t.float().numpy()),
@@ -169,12 +188,21 @@ def _iter_hf_tensors(path: str, use_native: bool = True):
                 yield nm, w
 
 
-def load_hf_deepseek(path: str, cfg: DeepSeekConfig, dtype=jnp.float32) -> dict:
+def load_hf_deepseek(path: str, cfg: DeepSeekConfig, dtype=jnp.float32,
+                     keep_fp8: bool = False) -> dict:
     """Load an HF DeepSeek checkpoint directory into our stacked pytree.
 
     Builds the full model in host memory (use for fixtures / distilled
     sizes; 671B-scale loads should stream shard-by-shard under a device
-    mesh — the sharded load path composes this per layer)."""
+    mesh — the sharded load path composes this per layer).
+
+    keep_fp8=True: every fp8-stored linear becomes a native-FP8 serving
+    dict {"w8" float8_e4m3fn, "se" [K/128, N] f32} holding the
+    checkpoint's ORIGINAL codes (serve with fp8_matmul(exact=True) for
+    bit-faithful dequant semantics, since HF codes may include
+    subnormals). wkv_b is the exception: the absorbed-MLA einsums
+    consume it dense, so it dequantizes to `dtype` as in the int4 build
+    (deepseekv3_utils.py:171 analog)."""
     nd = cfg.n_dense_layers
     dense: Dict[str, list] = {}
     moe: Dict[str, list] = {}
@@ -185,7 +213,15 @@ def load_hf_deepseek(path: str, cfg: DeepSeekConfig, dtype=jnp.float32) -> dict:
             store[key] = [None] * n_total
         store[key][idx] = val
 
-    for name, w in _iter_hf_tensors(path):
+    for name, w in _iter_hf_tensors(path, keep_fp8=keep_fp8):
+        if keep_fp8 and isinstance(w, tuple) and (
+                name.endswith("kv_b_proj.weight")):
+            raw, sc = w
+            assert ((raw & 0x7F) != 0x7F).all(), f"NaN fp8 codes in {name}"
+            w = np.asarray(fp8_block_dequant(
+                jax.lax.bitcast_convert_type(jnp.asarray(raw),
+                                             jnp.float8_e4m3fn),
+                jnp.asarray(sc)))
         if name == "model.embed_tokens.weight":
             top["embed"] = w
         elif name == "model.norm.weight":
@@ -225,15 +261,37 @@ def load_hf_deepseek(path: str, cfg: DeepSeekConfig, dtype=jnp.float32) -> dict:
                     store[key][si] = [None] * cfg.n_routed_experts
                 store[key][si][int(e_s)] = w
 
+    def fp8_dict(raws, scs):
+        """Stacked raw u8 codes + checkpoint scales -> serving dict."""
+        from flatquant_tpu.kernels.fp8_matmul import expand_fp8_scales
+
+        raw = np.stack(raws)
+        assert ((raw & 0x7F) != 0x7F).all(), "NaN fp8 codes in checkpoint"
+        n, k = raw.shape[-2:]
+        w8 = jax.lax.bitcast_convert_type(jnp.asarray(raw), jnp.float8_e4m3fn)
+        se = np.stack([np.asarray(expand_fp8_scales(jnp.asarray(s), n, k))
+                       for s in scs])
+        return {"w8": w8, "se": jnp.asarray(se)}
+
     def finalize(store, n_total, label):
         out = {}
         for key, vals in store.items():
             missing = [i for i, v in enumerate(vals) if v is None]
             if missing:
                 raise ValueError(f"missing {label} {key} for layers {missing}")
-            if key.startswith("e_w"):
-                vals = [np.stack(v) for v in vals]
-            out[key] = jnp.asarray(np.stack(vals), dtype)
+            if isinstance(vals[0], tuple):  # keep_fp8 linears
+                out[key] = fp8_dict([v[0] for v in vals], [v[1] for v in vals])
+            elif key.startswith("e_w"):
+                if isinstance(vals[0][0], tuple):  # [layer][expert] fp8
+                    d = [fp8_dict([t[0] for t in layer], [t[1] for t in layer])
+                         for layer in vals]
+                    out[key] = {"w8": jnp.stack([x["w8"] for x in d]),
+                                "se": jnp.stack([x["se"] for x in d])}
+                else:
+                    out[key] = jnp.asarray(
+                        np.stack([np.stack(v) for v in vals]), dtype)
+            else:
+                out[key] = jnp.asarray(np.stack(vals), dtype)
         return out
 
     params = {

@@ -110,3 +110,40 @@ def test_mtp_layer_skipped(tmp_path):
                                  max_seq_len=256, original_seq_len=64)
     params = load_hf_deepseek(d, cfg)
     assert params["dense_layers"]["wkv_a"].shape[0] == cfg.n_dense_layers
+
+
+def test_keep_fp8_load_serves_original_codes(fixture_dir):
+    """keep_fp8=True keeps the checkpoint's fp8 codes as native serving
+    dicts; the fp8 forward matches the dequantized-load forward within
+    compute-precision noise (the values are the SAME dequant math)."""
+    import jax
+
+    cfg = ds_config_from_hf_json(fixture_dir, name="tiny-deepseek",
+                                 seqlen=32, max_seq_len=256)
+    p_deq = load_hf_deepseek(fixture_dir, cfg, dtype=jnp.float32)
+    p_fp8 = load_hf_deepseek(fixture_dir, cfg, dtype=jnp.float32,
+                             keep_fp8=True)
+    # structure: linears became {"w8","se"}; wkv_b stayed dense
+    dl = p_fp8["dense_layers"]
+    assert isinstance(dl["wq_a"], dict) and "w8" in dl["wq_a"]
+    assert not isinstance(dl["wkv_b"], dict)
+    ml = p_fp8["moe_layers"]
+    assert isinstance(ml["e_w1"], dict) and ml["e_w1"]["w8"].ndim == 4
+    # codes are the checkpoint's own bytes: dequant(w8, se) == loaded dense
+    w8 = dl["wq_a"]["w8"][0]
+    se = dl["wq_a"]["se"][0]
+    b = -(-w8.shape[1] // se.shape[0])
+    sfull = jnp.repeat(se, b, axis=0)[: w8.shape[1]]
+    np.testing.assert_allclose(
+        np.asarray(w8.astype(jnp.float32)) * np.asarray(sfull).T,
+        np.asarray(p_deq["dense_layers"]["wq_a"][0]), rtol=1e-6, atol=1e-7)
+
+    toks = jnp.asarray(
+        np.random.default_rng(0).integers(0, cfg.vocab_size, (1, 16)),
+        jnp.int32)
+    lg_deq = deepseek_forward(cfg, p_deq, toks, compute_dtype=jnp.float32)
+    lg_fp8 = deepseek_forward(cfg, p_fp8, toks, compute_dtype=jnp.float32)
+    # fp8 path: bf16 products vs f32 dense matmuls -> bf16-level tolerance
+    np.testing.assert_allclose(np.asarray(lg_fp8, np.float32),
+                               np.asarray(lg_deq, np.float32),
+                               rtol=0.1, atol=0.1)
