@@ -277,14 +277,23 @@ def fp8_linear(x, lin: dict, out_dtype=None, use_kernel: bool = None,
         out_dtype = x.dtype if x.dtype != jnp.float32 else jnp.bfloat16
     k = x.shape[-1]
     n = lin["w8"].shape[0]
-    aligned = (k % BLOCK == 0 and n % BLOCK == 0
-               and k // lin["se"].shape[0] == BLOCK)
+    k_aligned = k % BLOCK == 0 and k // lin["se"].shape[0] == BLOCK
     if use_kernel is None:
         use_kernel = jax.default_backend() == "tpu"
     x2 = x.reshape(-1, k)
-    if use_kernel and aligned:
-        y = fp8_matmul(x2, lin["w8"], lin["se"], out_dtype=out_dtype,
-                       exact=exact)
+    if use_kernel and k_aligned:
+        w8, se = lin["w8"], lin["se"]
+        if n % BLOCK:
+            # K-aligned but ragged N (e.g. real DeepSeek-V3 kv_a_proj:
+            # N = kv_lora_rank + qk_rope = 576 — ADVICE r4): zero-pad the
+            # output rows up to the kernel's 128 tile and slice. Ragged-N
+            # weights are the small projections, so the per-call pad copy
+            # is cheap — far cheaper than dropping to the XLA ref path
+            # (~239 us in a serving loop, see module docstring).
+            pad = BLOCK - n % BLOCK
+            w8 = jnp.pad(w8, ((0, pad), (0, 0)))
+            se = jnp.pad(se, ((0, 0), (0, pad)))
+        y = fp8_matmul(x2, w8, se, out_dtype=out_dtype, exact=exact)[:, :n]
     else:
         y = fp8_matmul_ref(x2, lin["w8"], lin["se"], out_dtype=out_dtype)
     return y.reshape(x.shape[:-1] + (n,))

@@ -433,7 +433,16 @@ def _linear(mode, quant, fq_cfg, x, w, b, st, qa=None, lwc=False):
         # no activation quantization
         from flatquant_tpu.kernels.fp8_matmul import fp8_linear
 
-        y = fp8_linear(x, w, out_dtype=x.dtype)
+        # fp8 weights carry no folded inverse transform: combining them
+        # with an active FlatQuant transform (qa) or quant mode would
+        # silently mis-multiply (caller pre-transforms x, nothing undoes
+        # it in the weight) — fail loudly instead (ADVICE r4)
+        assert qa is None and st is None, (
+            "native-FP8 linear cannot compose with FlatQuant transforms/"
+            "quantizers; dequantize the weight or use the packed path"
+        )
+        y = fp8_linear(x, w, out_dtype=x.dtype,
+                       exact=getattr(fq_cfg, "fp8_exact", True))
         return y + b.astype(y.dtype) if b is not None else y
     if isinstance(w, dict):
         # packed real-quant weight ({"wp", "scale", optional "a_clip"}):
@@ -623,9 +632,14 @@ def _expert_linear(mode, quant, fq_cfg, x_e, w_e, st_e, qa=None):
     if isinstance(w_e, dict) and "w8" in w_e:
         from flatquant_tpu.kernels.fp8_matmul import fp8_linear
 
+        assert qa is None and st_e is None, (
+            "native-FP8 expert linear cannot compose with FlatQuant "
+            "transforms/quantizers; dequantize or use the packed path"
+        )
+        exact = getattr(fq_cfg, "fp8_exact", True)
         return jax.vmap(
             lambda x1, w1, s1: fp8_linear(x1, {"w8": w1, "se": s1},
-                                          out_dtype=x1.dtype)
+                                          out_dtype=x1.dtype, exact=exact)
         )(x_e, w_e["w8"], w_e["se"])
     if isinstance(w_e, dict):
         from flatquant_tpu.serving.quantized import _quant_linear

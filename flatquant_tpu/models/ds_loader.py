@@ -213,15 +213,25 @@ def load_hf_deepseek(path: str, cfg: DeepSeekConfig, dtype=jnp.float32,
             store[key] = [None] * n_total
         store[key][idx] = val
 
+    def _deq_tuple(name, w):
+        """Dequantize a keep_fp8 (raw_u8, scales) pair to dense float."""
+        raw, sc = w
+        assert ((raw & 0x7F) != 0x7F).all(), f"NaN fp8 codes in {name}"
+        return np.asarray(fp8_block_dequant(
+            jax.lax.bitcast_convert_type(jnp.asarray(raw),
+                                         jnp.float8_e4m3fn),
+            jnp.asarray(sc)))
+
     for name, w in _iter_hf_tensors(path, keep_fp8=keep_fp8):
         if keep_fp8 and isinstance(w, tuple) and (
-                name.endswith("kv_b_proj.weight")):
-            raw, sc = w
-            assert ((raw & 0x7F) != 0x7F).all(), f"NaN fp8 codes in {name}"
-            w = np.asarray(fp8_block_dequant(
-                jax.lax.bitcast_convert_type(jnp.asarray(raw),
-                                             jnp.float8_e4m3fn),
-                jnp.asarray(sc)))
+                name.endswith("kv_b_proj.weight")
+                or not name.startswith("model.layers.")):
+            # kv_b_proj: consumed dense by the absorbed-MLA einsums.
+            # Non-layer tensors (embed / lm_head / final norm — some
+            # checkpoints store these fp8 too): _linear never serves
+            # them, so a (raw, scales) tuple would otherwise reach
+            # jnp.asarray and die obscurely (ADVICE r4) — dequantize.
+            w = _deq_tuple(name, w)
         if name == "model.embed_tokens.weight":
             top["embed"] = w
         elif name == "model.norm.weight":

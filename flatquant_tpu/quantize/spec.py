@@ -65,6 +65,15 @@ class FQConfig:
     # transforms too. Must be set for BOTH calibration and serving.
     tpu_decompose: bool = False
 
+    # fp8 serving decode mode for {"w8","se"} native-FP8 linears
+    # (kernels/fp8_matmul.py): True = IEEE-complete subnormal decode —
+    # required for bit-faithful serving of checkpoint-ORIGINAL fp8 codes
+    # (HF DeepSeek weights may contain subnormals; the CPU/reference path
+    # is IEEE-complete, so FTZ would silently diverge from it). False =
+    # flush-to-zero fast path, bit-exact only for self-packed weights
+    # whose packer never emits subnormals.
+    fp8_exact: bool = True
+
     # gptq
     gptq: bool = False
     gptq_percdamp: float = 0.01
