@@ -29,7 +29,7 @@ Ceilings:
   - HBM stream: 819 GB/s (chip spec; device copy probes reach ~800)
   - v4 transposed u8 cache DMA floor: 568 GB/s (strided per-head reads)
 
-Rows with sol_frac outside [0.02, 1.15] are flagged "suspect" and
+Rows with sol_frac outside [0.02, 1.05] are flagged "suspect" and
 collect_rooflines() sets a top-level consistency verdict — a healthy
 kernel misreported at 0.03 SoL must fail this report, not pass it.
 
@@ -71,7 +71,7 @@ def _row(t, achieved, ceiling, unit):
         "sol_frac": round(frac, 3),
         "unit": unit,
     }
-    if not (0.02 <= frac <= 1.15):
+    if not (0.02 <= frac <= 1.05):
         row["suspect"] = True
     return row
 
@@ -170,8 +170,13 @@ def collect_rooflines(sweep: bool = True):
     t = measure_device(
         lambda *a: paged_decode_attention_int4(*a, sm),
         (q, pkp, pkpar, pvp, pvpar, tbl, valid), name="paged_decode_attn")
+    # ceiling: plain HBM, NOT the 568 GB/s strided-per-head floor — the
+    # paged kernel's one-whole-block-all-heads DMA reads each pool block
+    # contiguously, so the slot kernel's stride penalty doesn't apply to
+    # it (r4's 1.066 "SoL" was this row scored against the wrong ceiling,
+    # VERDICT r4 weak #5)
     out["paged_decode_attention_s4096"] = _row(
-        t, cache_bytes / t / 1e9, V4_DMA_GBS, "GB/s")
+        t, cache_bytes / t / 1e9, HBM_GBS, "GB/s")
 
     # --- 4. flash prefill attention, B=1 S=2048 MHA bf16 ---
     S2 = 2048

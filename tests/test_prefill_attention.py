@@ -118,6 +118,57 @@ def test_flash_kernel_bf16_parity_interpret():
     assert d < 2e-2, d
 
 
+def test_flash_kt_i8_close_to_oracle(rng):
+    """The int8-MXU flash variant (in-kernel q/k/v/p quantization) stays
+    within int8-rounding distance of the fp32 blockwise oracle: rel-RMS
+    ~1-2% measured on unit-normal inputs — an order of magnitude tighter
+    than the int4 KV-cache error the decode path already tolerates.
+    (Kept as a measured ALTERNATIVE: on this chip the MXU saving at
+    hd=128 contraction is eaten by the dequant/requant VPU passes —
+    618 vs 530 us at llama dims, device-traced 2026-08-20 — so the bf16
+    kt kernel remains the serving default; see STATUS.md.)"""
+    from flatquant_tpu.kernels.prefill_attention import (
+        flash_prefill_attention_kt_i8,
+        flash_prefill_ref,
+    )
+
+    B, S, nh, nkv, hd = 1, 512, 4, 2, 128
+    q = jnp.asarray(rng.standard_normal((B, S, nh, hd)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, S, nkv, hd)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, S, nkv, hd)), jnp.float32)
+    sm = 1.0 / np.sqrt(hd)
+    want = np.asarray(flash_prefill_ref(q, k, v, sm))
+    kt = jnp.transpose(k.astype(jnp.bfloat16), (0, 2, 3, 1))
+    qb, vb = q.astype(jnp.bfloat16), v.astype(jnp.bfloat16)
+    for pv_i8, bound in [(True, 0.035), (False, 0.02)]:
+        got = np.asarray(
+            flash_prefill_attention_kt_i8(qb, kt, vb, sm, pv_i8=pv_i8,
+                                          interpret=True), np.float32)
+        rel_rms = np.sqrt(((got - want) ** 2).mean() / (want ** 2).mean())
+        assert rel_rms < bound, (pv_i8, rel_rms)
+
+
+def test_flash_kt_unroll_bit_identical(rng):
+    """Manual 2-wide unrolling of the full-block loop must not change a
+    single bit (same op order per tile, only the scheduler sees more)."""
+    from flatquant_tpu.kernels.prefill_attention import (
+        flash_prefill_attention_kt,
+    )
+
+    B, S, nh, nkv, hd = 1, 1024, 2, 2, 64
+    q = jnp.asarray(rng.standard_normal((B, S, nh, hd)), jnp.bfloat16)
+    k = jnp.asarray(rng.standard_normal((B, S, nkv, hd)), jnp.bfloat16)
+    v = jnp.asarray(rng.standard_normal((B, S, nkv, hd)), jnp.bfloat16)
+    kt = jnp.transpose(k, (0, 2, 3, 1))
+    sm = 1.0 / np.sqrt(hd)
+    a = np.asarray(flash_prefill_attention_kt(q, kt, v, sm, blk_q=128,
+                                              blk_k=128, interpret=True))
+    b = np.asarray(flash_prefill_attention_kt(q, kt, v, sm, blk_q=128,
+                                              blk_k=128, unroll=2,
+                                              interpret=True))
+    np.testing.assert_array_equal(a, b)
+
+
 def test_flash_kt_matches_standard(rng):
     """The kt kernel (K pre-transposed [B, nkv, hd, S], no per-tile
     Mosaic transpose on the QK stationary operand) computes the same
