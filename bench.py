@@ -217,30 +217,65 @@ def main():
     t_quant = min(tq)
     t_bf16 = min(tb)
     speedup = t_bf16 / t_quant
+
+    # full-depth protocol run (VERDICT r4 item 1b): 32 layers, full vocab,
+    # prefill 2048 + 256 decode — the reference's own measurement protocol
+    # (README.md:286-310) — measured as device time of the jitted step
+    # (jax.profiler), so neither tunnel dispatch nor scan slice-copies
+    # distort the ratio. Sequential residency: bf16 7B (13.5 GB) and the
+    # packed model can't share the 16 GB HBM.
+    try:
+        from tools.fulldepth_bench import run_fulldepth
+
+        full = run_fulldepth()
+    except Exception as e:  # bench must still emit its metric line
+        full = {"error": f"{type(e).__name__}: {str(e)[:160]}"}
+
     ref_decode_speedup = 0.71  # README.md:304, bsz 1
-    print(
-        json.dumps(
-            {
-                "metric": "llama2-7b-dims W4A4KV4 decode speedup vs bf16, bsz1",
-                "value": round(speedup, 4),
-                "unit": "x",
-                "vs_baseline": round(speedup / ref_decode_speedup, 4),
-                "detail": {
-                    "config": "W4A4KV4 + tpu_decompose (rn128 fused flat "
-                              "pipeline) + packed int4 KV cache",
-                    "t_decode_quant_ms": round(t_quant * 1e3, 3),
-                    "t_decode_bf16_ms": round(t_bf16 * 1e3, 3),
-                    "steps": N_STEPS,
-                    "tok_s_quant": round(BATCH / t_quant, 1),
-                    "tok_s_bf16": round(BATCH / t_bf16, 1),
-                    "prefill2048_quant_ms": round(tpq * 1e3, 3),
-                    "prefill2048_bf16_ms": round(tpb * 1e3, 3),
-                    "prefill_speedup": round(tpb / tpq, 4),
-                    "rooflines": rooflines,
-                },
-            }
+    detail = {
+        "config": "W4A4KV4 + tpu_decompose (rn128 fused flat "
+                  "pipeline) + packed int4 KV cache",
+        "t_decode_quant_ms": round(t_quant * 1e3, 3),
+        "t_decode_bf16_ms": round(t_bf16 * 1e3, 3),
+        "steps": N_STEPS,
+        "tok_s_quant": round(BATCH / t_quant, 1),
+        "tok_s_bf16": round(BATCH / t_bf16, 1),
+        "prefill2048_quant_ms": round(tpq * 1e3, 3),
+        "prefill2048_bf16_ms": round(tpb * 1e3, 3),
+        "prefill_speedup": round(tpb / tpq, 4),
+        "full_depth": full,
+        "rooflines": rooflines,
+    }
+    # rooflines/sweeps go to a side file — the driver's tail capture only
+    # reliably records a SHORT final line (BENCH_r04 'parsed: null' lesson)
+    import os
+
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_DETAIL.json")
+    with open(detail_path, "w") as fh:
+        json.dump(detail, fh, indent=1)
+    print(f"# detail written to {detail_path}", file=sys.stderr)
+
+    headline = {
+        "metric": "llama2-7b W4A4KV4 decode speedup vs bf16, bsz1 "
+                  "(trimmed 2-layer proxy)",
+        "value": round(speedup, 4),
+        "unit": "x",
+        "vs_baseline": round(speedup / ref_decode_speedup, 4),
+        "trimmed": {"decode": round(speedup, 4),
+                    "prefill": round(tpb / tpq, 4)},
+    }
+    if "decode_speedup" in full:
+        headline.update(
+            metric="llama2-7b W4A4KV4 decode speedup vs bf16, bsz1 "
+                   "(full 32-layer model, device time)",
+            value=full["decode_speedup"],
+            vs_baseline=round(full["decode_speedup"] / ref_decode_speedup, 4),
+            full_depth={"decode": full["decode_speedup"],
+                        "prefill": full["prefill_speedup"],
+                        "e2e_2048p_256d": full.get("e2e_speedup")},
         )
-    )
+    print(json.dumps(headline))
 
 
 if __name__ == "__main__":

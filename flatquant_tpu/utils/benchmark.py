@@ -129,6 +129,44 @@ def device_compare(cases: Dict[str, Tuple[Callable, tuple]], iters: int = 10,
     return results
 
 
+def device_time_loop(run_loop: Callable[[], None],
+                     trace_dir: str = "/tmp/fq_bench_trace_loop") -> Tuple[float, int]:
+    """Device time of an arbitrary (pre-warmed) call sequence.
+
+    run_loop() performs N calls of jitted work and blocks; returns
+    (total_device_seconds, n_jit_executions) summed over every jit_
+    executable in the trace. Unlike device_compare this lets the caller
+    THREAD STATE between calls — required for donated-buffer steps
+    (e.g. the full-depth bf16 decode, where a fresh undonated output
+    cache per call would not fit HBM next to the 13.5 GB weights)."""
+    import glob
+    import gzip
+    import json
+    import os
+    import shutil
+
+    shutil.rmtree(trace_dir, ignore_errors=True)
+    os.makedirs(trace_dir, exist_ok=True)
+    jax.profiler.start_trace(trace_dir)
+    run_loop()
+    jax.profiler.stop_trace()
+    tr = sorted(glob.glob(os.path.join(trace_dir, "**", "*.trace.json.gz"),
+                          recursive=True))[-1]
+    with gzip.open(tr) as fh:
+        data = json.load(fh)
+    pids = {e["pid"]: e["args"].get("name", "") for e in data["traceEvents"]
+            if e.get("ph") == "M" and e.get("name") == "process_name"}
+    total = 0.0
+    n = 0
+    for e in data["traceEvents"]:
+        if (e.get("ph") == "X" and "dur" in e
+                and "TPU" in pids.get(e["pid"], "")
+                and e["name"].startswith("jit_")):
+            total += e["dur"]
+            n += 1
+    return total / 1e6, n
+
+
 def roofline_gemm(m: int, k: int, n: int, t_seconds: float,
                   bytes_weights: int, peak_tflops: float = 197.0,
                   peak_gbs: float = 819.0) -> Dict[str, float]:
