@@ -178,21 +178,32 @@ def pipeline_serving_forward(cfg, fq_cfg, sp, tokens, cache, pos, phase,
                              mesh: Mesh, n_microbatches: int = 2,
                              use_kernel: bool = False, max_len: int = 2048,
                              compute_dtype=jnp.bfloat16,
-                             dp_axis: Optional[str] = None):
-    """REAL-QUANT serving forward (packed int4 weights + int4 or bf16 KV
-    cache) with the layer loop pipelined over mesh axis "pp" — the
-    reference's vLLM PP serving analog (llama_flatquant.py:400-460).
+                             dp_axis: Optional[str] = None,
+                             last_idx=None):
+    """REAL-QUANT serving forward (packed int4 weights + int4 / bf16 /
+    PAGED KV cache) with the layer loop pipelined over mesh axis "pp" —
+    the reference's vLLM PP serving analog (llama_flatquant.py:400-460).
 
     sp: STACKED build_serving_params output; cache: init_cache pytree
-    (slot "bf16" or "int4" modes); tokens [B, S] with B % n_microbatches
-    == 0; pos: scalar position (prefill 0 / decode current length).
-    Returns (last-token logits [B, V], cache) — bit-identical to the
-    sequential engine (_forward) on the same inputs: the schedule only
-    reorders which device runs a layer, and bubble-tick cache writes are
-    masked out.
+    (slot "bf16"/"int4" modes, or "paged" with a "tbl" block table);
+    tokens [B, S] with B % n_microbatches == 0; pos: scalar position
+    (prefill 0 / decode current length) or a per-slot [B] int32 vector
+    (continuous-batching decode — each microbatch gets its slots' rows);
+    last_idx: optional per-slot [B] index of the last real token (padded
+    prefill buckets). Returns (last-token logits [B, V], cache) —
+    bit-identical to the sequential engine (_forward) on the same
+    inputs: the schedule only reorders which device runs a layer, and
+    bubble-tick cache writes are masked out.
+
+    Paged composition (VERDICT r4 item 4): pool leaves keep their
+    leading layer axis and shard P("pp") like the layers — each stage
+    owns its layers' pool shard; the block table (no layer axis)
+    broadcasts, and each microbatch's writes scatter through its own
+    slots' table rows, so microbatches never collide in the shared pool.
     """
     from flatquant_tpu.models.llama import rms_norm, rope_tables
     from flatquant_tpu.serving.engine import (
+        _last_hidden,
         serving_layer,
         serving_layer_int4cache,
     )
@@ -204,13 +215,30 @@ def pipeline_serving_forward(cfg, fq_cfg, sp, tokens, cache, pos, phase,
     x = sp["embed"][tokens].astype(compute_dtype)
     cos, sin = rope_tables(cfg, jnp.arange(max_len))
     int4 = "kp" in cache
+    tbl = cache.get("tbl")
+    pos_vec = getattr(pos, "ndim", 0) == 1
 
     if int4:
         state = (cache["kp"], cache["kparam"], cache["vp"], cache["vparam"])
     else:
         state = (cache["k"], cache["v"])
 
+    def _mb_pos(mb_idx):
+        if pos_vec:
+            return jax.lax.dynamic_slice_in_dim(pos, mb_idx * mb, mb, 0)
+        return pos
+
     def layer_fn(sl, st, h, mb_idx, cos, sin):
+        p = _mb_pos(mb_idx)
+        if tbl is not None:
+            # paged: the pool is shared across slots — no batch slicing;
+            # writes route through this microbatch's table rows
+            tbl_mb = jax.lax.dynamic_slice_in_dim(tbl, mb_idx * mb, mb, 0)
+            kp, kparam, vp, vparam = st
+            h, kp, kparam, vp, vparam = serving_layer_int4cache(
+                cfg, fq_cfg, sl, h, cos, sin, kp, kparam, vp, vparam, p,
+                phase, use_kernel, compute_dtype, tbl=tbl_mb)
+            return h, (kp, kparam, vp, vparam)
         # st leaves carry the FULL batch for this layer; slice out this
         # microbatch's rows (batch axis 0 after the scan strips L)
         sliced = jax.tree.map(
@@ -219,13 +247,13 @@ def pipeline_serving_forward(cfg, fq_cfg, sp, tokens, cache, pos, phase,
         if int4:
             kp, kparam, vp, vparam = sliced
             h, kp, kparam, vp, vparam = serving_layer_int4cache(
-                cfg, fq_cfg, sl, h, cos, sin, kp, kparam, vp, vparam, pos,
+                cfg, fq_cfg, sl, h, cos, sin, kp, kparam, vp, vparam, p,
                 phase, use_kernel, compute_dtype)
             new = (kp, kparam, vp, vparam)
         else:
             ck, cv = sliced
             h, ck, cv = serving_layer(cfg, fq_cfg, sl, h, cos, sin, ck, cv,
-                                      pos, phase, use_kernel, compute_dtype)
+                                      p, phase, use_kernel, compute_dtype)
             new = (ck, cv)
         st_out = jax.tree.map(
             lambda full, part: jax.lax.dynamic_update_slice_in_dim(
@@ -239,11 +267,14 @@ def pipeline_serving_forward(cfg, fq_cfg, sp, tokens, cache, pos, phase,
     x = y_mb.reshape(B, S, -1)
 
     x = rms_norm(x, sp["final_norm_w"], cfg.rms_eps)
-    logits = jnp.matmul(x[:, -1], sp["lm_head"].T.astype(x.dtype))
+    logits = jnp.matmul(_last_hidden(x, last_idx),
+                        sp["lm_head"].T.astype(x.dtype))
     if int4:
         out_cache = dict(zip(("kp", "kparam", "vp", "vparam"), state))
     else:
         out_cache = dict(zip(("k", "v"), state))
+    if tbl is not None:
+        out_cache["tbl"] = tbl
     return logits.astype(jnp.float32), out_cache
 
 

@@ -61,6 +61,38 @@ def _batcher_programs(cfg, fq_cfg, use_kernel, max_len, compute_dtype,
     return prefill_one, decode_multi, chunk_one
 
 
+@functools.lru_cache(maxsize=16)
+def _pp_batcher_programs(cfg, fq_cfg, use_kernel, max_len, compute_dtype,
+                         mesh, n_microbatches):
+    """Jitted batcher programs with the layer loop pipelined over the
+    mesh's "pp" axis (parallel/pipeline.pipeline_serving_forward) — the
+    vLLM continuous-batching-under-PP analog (llama_flatquant.py:400-460;
+    VERDICT r4 item 4). Single-slot prefill/chunk run at M=1 (pure
+    bubble, correctness-first); multi-slot decode pipelines its slots
+    over n_microbatches."""
+    from flatquant_tpu.parallel.pipeline import pipeline_serving_forward
+
+    @jax.jit
+    def prefill_one(sp, tokens, cache1, last_idx):
+        return pipeline_serving_forward(
+            cfg, fq_cfg, sp, tokens, cache1, jnp.int32(0), "prefill", mesh,
+            1, use_kernel, max_len, compute_dtype, last_idx=last_idx)
+
+    @jax.jit
+    def decode_multi(sp, toks, cache, pos_vec):
+        return pipeline_serving_forward(
+            cfg, fq_cfg, sp, toks, cache, pos_vec, "decode", mesh,
+            n_microbatches, use_kernel, max_len, compute_dtype)
+
+    @jax.jit
+    def chunk_one(sp, tokens, cache1, pos, last_idx):
+        return pipeline_serving_forward(
+            cfg, fq_cfg, sp, tokens, cache1, pos, "chunk", mesh,
+            1, use_kernel, max_len, compute_dtype, last_idx=last_idx)
+
+    return prefill_one, decode_multi, chunk_one
+
+
 @dataclasses.dataclass
 class Request:
     rid: int
@@ -89,6 +121,8 @@ class ContinuousBatcher:
         block_size: int = 256,
         forward_fn=None,
         init_cache_fn=None,
+        pp_mesh=None,
+        pp_microbatches: int = 2,
     ):
         """cache_mode="int4": packed int4 KV cache + Pallas flash-decode
         (the flagship cache under continuous batching; per-slot positions
@@ -166,10 +200,40 @@ class ContinuousBatcher:
         self.block_size = block_size
         self._forward_fn = forward_fn
         self._init_cache = init_cache_fn if init_cache_fn is not None else init_cache
+        # pp_mesh: pipeline the layer loop over the mesh's "pp" axis
+        # (parallel/pipeline.py) — vLLM serves continuous batching under
+        # TP *and* PP (llama_flatquant.py:400-460); here pp composes with
+        # every cache mode (bf16 / int4 / paged block pool): layer-axis
+        # leaves (stacked weights, slot caches, paged pools) shard
+        # P("pp") so each stage owns its layers' weights and cache shard.
+        # Greedy outputs stay bit-identical to the unsharded batcher.
+        self.pp_mesh = pp_mesh
+        self.pp_microbatches = pp_microbatches
+        if pp_mesh is not None:
+            assert mesh is None, (
+                "pp_mesh uses GSPMD layer-axis sharding; shard_map TP "
+                "(mesh=) is a separate program set — tp-within-stage "
+                "belongs to the GSPMD specs (PARALLELISM.md)")
+            assert forward_fn is None, "pp runs the Llama engine layers"
+            assert batch_slots % pp_microbatches == 0, (
+                batch_slots, pp_microbatches)
+            assert cfg.num_layers % pp_mesh.shape["pp"] == 0
         if forward_fn is not None:
             assert mesh is None and cache_mode == "bf16", (
                 "engine hooks run the plain bf16-cache scheduler; paged/"
                 "int4/TP modes are Llama-engine specific")
+        if pp_mesh is not None:
+            # stage-shard the stacked weights; embed/head/norm replicate
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            self.sp = dict(serving_params)
+            self.sp["layers"] = jax.tree.map(
+                lambda a: jax.device_put(a, NamedSharding(pp_mesh, P("pp"))),
+                serving_params["layers"])
+            for k, v in self.sp.items():
+                if k != "layers":
+                    self.sp[k] = jax.device_put(
+                        v, NamedSharding(pp_mesh, P()))
         if cache_mode == "paged":
             from flatquant_tpu.serving.paged import BlockAllocator
 
@@ -185,7 +249,9 @@ class ContinuousBatcher:
             pool = init_cache(cfg, batch_slots, max_len, mode="paged",
                               n_blocks=n_blocks, block_size=block_size)
             pool.pop("tbl")  # the batcher manages tables host-side
-            if mesh is None:
+            if pp_mesh is not None:
+                self.cache = self._pp_put(pool)
+            elif mesh is None:
                 self.cache = jax.device_put(pool, self._dev)
             else:
                 # paged x TP: pool kv heads shard over the tp axis, block
@@ -204,6 +270,10 @@ class ContinuousBatcher:
             self.alloc = BlockAllocator(n_blocks)
             self.tbl = np.zeros((batch_slots, self._mb), np.int32)
             self.slot_blocks = [[] for _ in range(batch_slots)]
+        elif pp_mesh is not None:
+            self.cache = self._pp_put(
+                self._init_cache(cfg, batch_slots, max_len,
+                                 dtype=compute_dtype, mode=cache_mode))
         elif mesh is None:
             self.cache = self._commit(
                 self._init_cache(cfg, batch_slots, max_len,
@@ -230,7 +300,12 @@ class ContinuousBatcher:
         # the SAME jit wrappers — a fresh instance (restart, benchmark
         # scenario, new tenant) costs zero re-traces (~0.6 s/program
         # otherwise, paid mid-serving)
-        if mesh is None:
+        if pp_mesh is not None:
+            self._prefill_one, self._decode_multi, self._chunk_one = \
+                _pp_batcher_programs(cfg, fq_cfg, use_kernel, max_len,
+                                     compute_dtype, pp_mesh,
+                                     pp_microbatches)
+        elif mesh is None:
             self._prefill_one, self._decode_multi, self._chunk_one = \
                 _batcher_programs(cfg, fq_cfg, use_kernel, max_len,
                                   compute_dtype, forward_fn)
@@ -308,17 +383,36 @@ class ContinuousBatcher:
                     mesh, PartitionSpec(*([None] * a.ndim)))), tree)
         return jax.device_put(tree, self._dev)
 
+    def _pp_put(self, tree):
+        """Stage-shard a cache pytree over the pp mesh: layer-leading
+        leaves (slot caches, paged pools) P("pp"), the block table
+        (no layer axis) replicated."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        return {
+            k: jax.device_put(v, NamedSharding(
+                self.pp_mesh, P() if k == "tbl" else P("pp")))
+            for k, v in tree.items()
+        }
+
     def _put_tbl(self, arr):
         """Device copy of a host block table — replicated over the mesh
-        when tensor-parallel (every shard gathers the same pool indices)."""
-        if self.mesh is None:
+        when tensor-parallel or pipelined (every shard gathers the same
+        pool indices)."""
+        mesh = self.mesh or self.pp_mesh
+        if mesh is None:
             return jax.device_put(arr, self._dev)
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        return jax.device_put(arr, NamedSharding(self.mesh, P(None, None)))
+        return jax.device_put(arr, NamedSharding(mesh, P(None, None)))
 
     def _new_cache1(self):
         """Committed single-slot prefill cache (sharded when under a mesh)."""
+        if self.pp_mesh is not None:
+            return self._pp_put(
+                self._init_cache(self.cfg, 1, self.max_len,
+                                 dtype=self.compute_dtype,
+                                 mode=self.cache_mode))
         if self.mesh is None:
             return self._commit(
                 self._init_cache(self.cfg, 1, self.max_len,
