@@ -75,6 +75,14 @@ class _LayerShim(torch.nn.Module):
     def mlp(self):
         return self.layer.mlp
 
+    @property
+    def input_layernorm(self):
+        return self.layer.input_layernorm
+
+    @property
+    def post_attention_layernorm(self):
+        return self.layer.post_attention_layernorm
+
     def forward(self, x, attention_mask=None, position_ids=None, **kw):
         B, S, _ = x.shape
         if position_ids is None:
@@ -249,7 +257,10 @@ def _run_both(tmp_path, nsamples, epochs):
                         log=log)
     assert set(ref_mse) == set(our_mse) and len(ref_mse) == \
         rp.LAYERS * epochs, (sorted(ref_mse), sorted(our_mse))
-    return ref_mse, our_mse, ref_init, ref_final, trained
+    return ref_mse, our_mse, ref_init, ref_final, trained, {
+        "m2": m2, "sd0": sd0, "cfg": cfg, "fq_cfg": fq_cfg,
+        "params": params, "toks": toks,
+    }
 
 
 def test_trainer_single_step_parity(tmp_path):
@@ -271,7 +282,7 @@ def test_trainer_single_step_parity(tmp_path):
     is identical, >=85% of coordinates take the identical step, and the
     non-flipped ones match to <2% of the step.
     """
-    ref_mse, our_mse, ref_init, ref_final, trained = _run_both(
+    ref_mse, our_mse, ref_init, ref_final, trained, _ = _run_both(
         tmp_path, nsamples=BSZ, epochs=1)
 
     for key in sorted(ref_mse):
@@ -309,7 +320,7 @@ def test_trainer_trajectory_tracks(tmp_path):
     model — real calibrated models are far more stable, STATUS numerical
     determinism note), so the band widens.
     """
-    ref_mse, our_mse, _, _, _ = _run_both(
+    ref_mse, our_mse, _, _, _, _ = _run_both(
         tmp_path, nsamples=NSAMPLES, epochs=EPOCHS)
 
     for key in sorted(ref_mse):
@@ -319,3 +330,114 @@ def test_trainer_trajectory_tracks(tmp_path):
         # noise (see the single-step test) — uniform 15% band
         assert abs(r - o) <= 0.15 * max(abs(r), 1e-12), (
             f"layer {key[0]} epoch {key[1]}: ref mse {r:.8f} vs ours {o:.8f}")
+
+
+def test_mini_pipeline_equivalence(tmp_path):
+    """Full mini-PIPELINE equivalence (VERDICT r4 item 6): the reference
+    trains the 2-layer model (one step keeps the runtime sane; the
+    trained values are real trainer output), then BOTH frameworks bake
+    the reference's trained transforms into the same fp weights and
+    evaluate PPL on identical data. Pins, in order:
+
+      1. baked weight matrices agree to 1e-4 (reference fp64 bake vs our
+         fp32 bake of the SAME transforms — trainer cliff-flip noise is
+         excluded by construction, it is covered by the step tests);
+      2. fake-quant PPL agrees to 2e-3 relative;
+      3. packed export -> reload -> real-quant serving PPL agrees too
+         (the reference's deploy flow: reparameterize, export int4,
+         serve — REALQUANT.md).
+    """
+    import flatquant.flat_utils as ref_flat_utils
+
+    from flatquant_tpu.evals.ppl import ppl_eval
+    from flatquant_tpu.quantize.bake import bake_model
+    from flatquant_tpu.serving.quantized import build_serving_params
+    from flatquant_tpu.utils import checkpoint as ckpt
+
+    *_, ref_final, _trained, extra = _run_both(tmp_path, nsamples=BSZ,
+                                               epochs=1)
+    m2, cfg, fq_cfg, params = (extra["m2"], extra["cfg"], extra["fq_cfg"],
+                               extra["params"])
+
+    # both sides bake the reference's trained transforms
+    ref_flat_utils.reparameterize_model(m2)
+    fq_trained = _fq_from_reference_raw(cfg, fq_cfg, ref_final)
+    baked_params, baked_fq = bake_model(cfg, fq_cfg, params, fq_trained)
+
+    # 1. baked weights (diag folded into norms on both sides)
+    wmap = (("wq", "self_attn.q_proj.linear.weight"),
+            ("wk", "self_attn.k_proj.linear.weight"),
+            ("wv", "self_attn.v_proj.linear.weight"),
+            ("wo", "self_attn.o_proj.linear.weight"),
+            ("wup", "mlp.up_proj.linear.weight"),
+            ("wgate", "mlp.gate_proj.linear.weight"),
+            ("wdown", "mlp.down_proj.linear.weight"),
+            ("ln1_w", "input_layernorm.weight"),
+            ("ln2_w", "post_attention_layernorm.weight"))
+    for i, shim in enumerate(m2.model.layers):
+        ref_sd = {k: v.detach().numpy() for k, v in
+                  shim.layer.state_dict().items()}
+        for ours, theirs in wmap:
+            a = np.asarray(jax.tree.map(lambda x: x,
+                           baked_params["layers"][ours])[i], np.float64)
+            b = ref_sd[theirs].astype(np.float64)
+            np.testing.assert_allclose(a, b, rtol=0, atol=1e-4,
+                                       err_msg=f"layer {i} {ours}")
+
+    # 2. fake-quant PPL on an identical held-out stream
+    rng = np.random.default_rng(23)
+    eval_toks = rng.integers(0, rp.VOCAB, (1, 8 * SEQ))
+    ref_logits = []
+    for c in range(8):
+        chunk = eval_toks[:, c * SEQ:(c + 1) * SEQ]
+        ref_logits.append(rp._ref_forward(m2, torch.from_numpy(chunk)))
+    ref_nll = 0.0
+    for c in range(8):
+        chunk = eval_toks[0, c * SEQ:(c + 1) * SEQ]
+        lg = ref_logits[c][0].astype(np.float64)
+        lse = np.log(np.exp(lg - lg.max(-1, keepdims=True)).sum(-1)) \
+            + lg.max(-1)
+        ref_nll += float(np.mean(lse[:-1] - lg[np.arange(SEQ - 1),
+                                               chunk[1:]]))
+    ref_ppl = float(np.exp(ref_nll / 8))
+
+    our_ppl = ppl_eval(cfg, baked_params, eval_toks.astype(np.int32),
+                       fq=baked_fq, fq_cfg=fq_cfg, mode="eval",
+                       seqlen=SEQ, compute_dtype=jnp.float32)
+    assert abs(our_ppl - ref_ppl) <= 2e-3 * ref_ppl, (our_ppl, ref_ppl)
+
+    # 3. packed export -> reload -> real-quant serving PPL
+    from flatquant_tpu.serving.engine import serving_all_logits
+
+    sp = build_serving_params(cfg, fq_cfg, baked_params, baked_fq,
+                              dtype=jnp.float32)
+    path = ckpt.save_packed_safetensors(str(tmp_path), sp)
+    sp2 = ckpt.load_packed_safetensors(path, sp)
+    nll = 0.0
+    for c in range(8):
+        chunk = jnp.asarray(eval_toks[:, c * SEQ:(c + 1) * SEQ], jnp.int32)
+        lg = np.asarray(serving_all_logits(
+            cfg, fq_cfg, sp2, chunk, use_kernel=False,
+            compute_dtype=jnp.float32))[0].astype(np.float64)
+        lse = np.log(np.exp(lg - lg.max(-1, keepdims=True)).sum(-1)) \
+            + lg.max(-1)
+        tgt = eval_toks[0, c * SEQ:(c + 1) * SEQ]
+        nll += float(np.mean(lse[:-1] - lg[np.arange(SEQ - 1), tgt[1:]]))
+    serve_ppl = float(np.exp(nll / 8))
+    # the serving stack quantizes WEIGHTS (int4 codes) and attends with
+    # UNQUANTIZED K/V at prefill (the reference deploy trick,
+    # REALQUANT.md) — so its exact fake-quant twin is eval over
+    # RTN-quantized weights with kv quantizers off; the full-KV4 fake
+    # PPL above differs by those genuine semantic gaps (~1.3% measured)
+    import dataclasses as _dc
+
+    from flatquant_tpu.quantize.bake import rtn_quantize_params
+
+    nokv_cfg = _dc.replace(fq_cfg, k_bits=16, v_bits=16, q_bits=16)
+    eval_params = rtn_quantize_params(fq_cfg, baked_params)
+    our_ppl_twin = ppl_eval(cfg, eval_params, eval_toks.astype(np.int32),
+                            fq=baked_fq, fq_cfg=nokv_cfg, mode="eval",
+                            seqlen=SEQ, compute_dtype=jnp.float32)
+    assert abs(serve_ppl - our_ppl_twin) <= 2e-3 * our_ppl_twin, (
+        serve_ppl, our_ppl_twin)
+    assert abs(serve_ppl - ref_ppl) <= 0.05 * ref_ppl, (serve_ppl, ref_ppl)
