@@ -223,7 +223,13 @@ def main():
     # (README.md:286-310) — measured as device time of the jitted step
     # (jax.profiler), so neither tunnel dispatch nor scan slice-copies
     # distort the ratio. Sequential residency: bf16 7B (13.5 GB) and the
-    # packed model can't share the 16 GB HBM.
+    # packed model can't share the 16 GB HBM — and the TRIMMED models
+    # must be freed first (leaving them resident OOMed the first
+    # integrated run; the standalone fulldepth run had passed)
+    import gc
+
+    del sp, bp, cache_q, cache_b, cache_pq, cache_pb
+    gc.collect()
     try:
         from tools.fulldepth_bench import run_fulldepth
 

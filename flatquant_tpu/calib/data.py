@@ -85,6 +85,26 @@ def _try_hf_text(name: str, split: str) -> Optional[str]:
     return None
 
 
+def _local_text(path: str) -> str:
+    """Raw text from a LOCAL corpus file — .txt (verbatim), .jsonl
+    (one {"text": ...} object per line) or .json (list of strings /
+    {"text": ...} objects). The zero-egress answer to the reference's
+    HF-hub loaders (data_utils.py): pre-downloaded corpora drive the
+    same tokenize -> crop -> eval-stream pipeline."""
+    import json as _json
+
+    with open(path, "r", encoding="utf-8") as fh:
+        if path.endswith(".jsonl"):
+            rows = [_json.loads(ln) for ln in fh if ln.strip()]
+            return "\n\n".join(r["text"] if isinstance(r, dict) else str(r)
+                               for r in rows)
+        if path.endswith(".json"):
+            rows = _json.load(fh)
+            return "\n\n".join(r["text"] if isinstance(r, dict) else str(r)
+                               for r in rows)
+        return fh.read()
+
+
 def get_loaders(
     name: str,
     vocab_size: int,
@@ -96,9 +116,23 @@ def get_loaders(
 ) -> CalibData:
     """Return calibration crops + eval stream.
 
-    name in {wikitext2, c4, ptb, pile, synthetic}. Real datasets require a
-    tokenizer + network/cache; otherwise falls back to `synthetic`.
+    name in {wikitext2, c4, ptb, pile, synthetic}, or a PATH to a local
+    corpus file (.txt / .jsonl / .json — needs a tokenizer; the first
+    90% of the token stream yields the calibration crops, the last 10%
+    the held-out eval stream). Hub datasets require a tokenizer +
+    network/cache; otherwise falls back to `synthetic`.
     """
+    import os as _os
+
+    if tokenizer is not None and _os.path.isfile(name):
+        ids = np.asarray(tokenizer(_local_text(name)).input_ids, np.int32)
+        cut = max(int(len(ids) * 0.9), len(ids) - n_test_tokens)
+        train_ids, test_ids = ids[:cut], ids[cut:]
+        return CalibData(
+            train=_crops(train_ids, nsamples, seqlen, seed),
+            test=test_ids[None, :n_test_tokens],
+            source=_os.path.basename(name),
+        )
     if name != "synthetic" and tokenizer is not None:
         split = "test" if name != "c4" else "validation"
         text = _try_hf_text(name, split)

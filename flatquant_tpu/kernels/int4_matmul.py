@@ -326,6 +326,12 @@ def w4a4_matmul_i8(
     n = w_packed.shape[0]
     assert x_q.dtype == jnp.int8
     assert w_packed.shape[1] * 2 == k
+    if m <= 32 and n <= 16384 and block_n == 1024:
+        # decode weight-stream shapes: finer N blocks pipeline the small
+        # total transfer better (r5 device sweep at M=8: o 4096x4096
+        # 17.1 -> 15.7 us, down 4096x11008 42.8 -> 37.4 us at bn=512;
+        # the 22016-row upgate stays faster at 1024 and keeps it)
+        block_n = 512
     bm = min(block_m, m)
     bn = min(block_n, n)
     # VMEM budget: x block (bm*k int8) + w block (bn*k/2 u8) + unpacked

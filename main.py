@@ -59,7 +59,9 @@ def parser_gen():
     p.add_argument("--warmup", action="store_true")
     p.add_argument("--deactive_amp", action="store_true")
     p.add_argument("--cali_dataset", default="synthetic",
-                   choices=["wikitext2", "c4", "ptb", "pile", "synthetic"])
+                   help="wikitext2|c4|ptb|pile|synthetic, or a LOCAL "
+                        "corpus file path (.txt/.jsonl/.json; needs "
+                        "--tokenizer_path) — the zero-egress route")
     p.add_argument("--seqlen", type=int, default=None)
     # weight quant pass
     p.add_argument("--v3_not_last", type=int, default=0, metavar="N",
