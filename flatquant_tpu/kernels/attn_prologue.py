@@ -69,7 +69,7 @@ def _quant_pack_head(tf, cmax, cmin):
     return byte, scale, zero
 
 
-def _attn_prologue_kernel(qkv_ref, cos_ref, sin_ref, rot_ref, kt_ref,
+def _attn_prologue_kernel(qkv_ref, cos_ref, sin_ref, kt_ref,
                           kti_ref, clip_ref, q_ref, k_ref, v_ref, kq_ref,
                           kp_ref, vq_ref, vp_ref, *, nh, nkv):
     """All heads batched into single MXU dots on grouped [g*bt, 128] views.
@@ -83,8 +83,7 @@ def _attn_prologue_kernel(qkv_ref, cos_ref, sin_ref, rot_ref, kt_ref,
     rows at once."""
     bt = cos_ref.shape[0]
     cos = cos_ref[:]  # [bt, 128] bf16
-    sin = sin_ref[:]
-    rot = rot_ref[:]  # signed half-rotation permutation (see wrapper)
+    sin = sin_ref[:]  # SIGN-FOLDED for the rotate-half roll (see wrapper)
     kt = kt_ref[:]
     kti = kti_ref[:]
     qoff = nh * 128
@@ -107,12 +106,17 @@ def _attn_prologue_kernel(qkv_ref, cos_ref, sin_ref, rot_ref, kt_ref,
 
     def rope_all(x, g):
         # x*cos + rotate_half(x)*sin, bf16 (matches models.llama.apply_rope).
-        # rotate_half runs on the MXU as a +-1 permutation matrix — exact
-        # (single-product f32 accumulation), and supported where Mosaic's
-        # bf16 lane rotate (tpu.dynamic_rotate) is not.
-        rx = jax.lax.dot_general(
-            x, rot, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32).astype(x.dtype)
+        # rotate_half = sign-folded STATIC lane roll: roll(x, 64) gives
+        # [x_hi, x_lo] exactly, and the required [-x_hi, x_lo] sign lives
+        # pre-folded in the sin table (wrapper) — so no MXU permutation
+        # dot. r4 ran rotate_half as a +-1 matrix dot; at [g*bt, 128]
+        # that was 2 of the 4 MXU dots per grid step (device ablation
+        # 2026-08-21: the prologue's I/O floor is 169 us vs 300 real —
+        # the gap is mostly these small dots). Mosaic only rotates
+        # 32-bit data, so the roll runs on an f32 widening — bf16
+        # values widen and re-narrow exactly, keeping the output
+        # bit-identical to the matrix form.
+        rx = pltpu.roll(x.astype(jnp.float32), 64, axis=1).astype(x.dtype)
         return x * tile_rows(cos, g) + rx * tile_rows(sin, g)
 
     qr = jax.lax.dot_general(
@@ -182,13 +186,12 @@ def attn_prologue(qkv, cos, sin, k_t, k_t_inv, kc_clip=None, vc_clip=None,
                       c[1].reshape(()).astype(jnp.float32)]
     clip_arr = jnp.stack(clips).reshape(1, 4)
     cos_b = cos.astype(jnp.bfloat16)
-    sin_b = sin.astype(jnp.bfloat16)
-    # signed permutation computing rotate_half: rot[d+64, d] = -1 (d < 64),
-    # rot[d-64, d] = +1 (d >= 64); +-1 entries are exact in bf16
-    d_ = jnp.arange(hd)
-    rot = jnp.zeros((hd, hd), jnp.bfloat16)
-    rot = rot.at[d_[:hd // 2] + hd // 2, d_[:hd // 2]].set(-1.0)
-    rot = rot.at[d_[hd // 2:] - hd // 2, d_[hd // 2:]].set(1.0)
+    # rotate_half(x) = concat(-x_hi, x_lo) = roll(x, 64 lanes) with a
+    # -1 sign on the first 64 positions — fold the sign into the sin
+    # table so the kernel's roll needs no extra pass (+-1 signs are
+    # exact in bf16, so this is bit-identical to the r4 matrix form)
+    sign = jnp.where(jnp.arange(hd) < hd // 2, -1.0, 1.0)
+    sin_b = (sin * sign).astype(jnp.bfloat16)
 
     grid = (B, S // bt)
     out = pl.pallas_call(
@@ -210,8 +213,6 @@ def attn_prologue(qkv, cos, sin, k_t, k_t_inv, kc_clip=None, vc_clip=None,
                 pl.BlockSpec((bt, hd), lambda b, i: (i, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((bt, hd), lambda b, i: (i, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((hd, hd), lambda b, i: (0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((hd, hd), lambda b, i: (0, 0),
                              memory_space=pltpu.VMEM),
@@ -249,7 +250,7 @@ def attn_prologue(qkv, cos, sin, k_t, k_t_inv, kc_clip=None, vc_clip=None,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 2**20),
         interpret=resolve_interpret(interpret),
-    )(qkv, cos_b, sin_b, rot, k_t.astype(jnp.bfloat16),
+    )(qkv, cos_b, sin_b, k_t.astype(jnp.bfloat16),
       k_t_inv.astype(jnp.bfloat16), clip_arr)
     return out
 
