@@ -525,11 +525,14 @@ def ds_mla(cfg: DeepSeekConfig, fq_cfg, mode, lp, fqa: Optional[MLAFQ], x, cos, 
     if cache is not None:
         kv_cache, pe_cache = cache
         if per_slot:
-            bidx = jnp.arange(B)
-            kv_cache = kv_cache.at[bidx, pos].set(
-                kv[:, 0].astype(kv_cache.dtype))
-            pe_cache = pe_cache.at[bidx, pos].set(
-                k_pe[:, 0].astype(pe_cache.dtype))
+            # masked select, not an advanced-index scatter — XLA's TPU
+            # scatter serializes (~285 us/layer at 7b dims, r5 finding in
+            # serving_layer_int4cache); the select streams the cache once
+            row = jax.lax.broadcasted_iota(
+                jnp.int32, (B, kv_cache.shape[1], 1), 1)
+            hit = row == pos[:, None, None]
+            kv_cache = jnp.where(hit, kv.astype(kv_cache.dtype), kv_cache)
+            pe_cache = jnp.where(hit, k_pe.astype(pe_cache.dtype), pe_cache)
         else:
             kv_cache = jax.lax.dynamic_update_slice_in_dim(
                 kv_cache, kv.astype(kv_cache.dtype), pos, axis=1

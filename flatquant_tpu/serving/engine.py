@@ -227,9 +227,13 @@ def serving_layer(
         v_store = v.astype(cv.dtype)
 
     if per_slot:
-        bidx = jnp.arange(B)
-        ck = ck.at[bidx, pos].set(k_store[:, 0])
-        cv = cv.at[bidx, pos].set(v_store[:, 0])
+        # masked select, not an advanced-index scatter — the scatter
+        # serializes on TPU (~285 us/layer at 7b dims; see the int4-cache
+        # twin in serving_layer_int4cache)
+        row = jax.lax.broadcasted_iota(jnp.int32, (B, ck.shape[1], 1, 1), 1)
+        hit = row == pos[:, None, None, None]
+        ck = jnp.where(hit, k_store, ck)
+        cv = jnp.where(hit, v_store, cv)
     else:
         ck = jax.lax.dynamic_update_slice_in_dim(ck, k_store, pos, axis=1)
         cv = jax.lax.dynamic_update_slice_in_dim(cv, v_store, pos, axis=1)
@@ -469,15 +473,20 @@ def serving_layer_int4cache(
             vp, vparam = write_token_paged(vp, vparam, vq[..., 0],
                                            vpar_new[..., 0], tbl, pos_vec)
     elif per_slot:
-        bidx = jnp.arange(B)[:, None, None]
-        hidx = jnp.arange(nkv)[None, :, None]
-        didx = jnp.arange(kp.shape[2])[None, None, :]
-        pidx = jnp.arange(2)[None, None, :]
-        sidx = pos[:, None, None]
-        kp = kp.at[bidx, hidx, didx, sidx].set(kq[..., 0])
-        vp = vp.at[bidx, hidx, didx, sidx].set(vq[..., 0])
-        kparam = kparam.at[bidx, hidx, pidx, sidx].set(kpar_new[..., 0])
-        vparam = vparam.at[bidx, hidx, pidx, sidx].set(vpar_new[..., 0])
+        # each slot writes ONE token column at its own position. A
+        # vectorized masked select instead of an advanced-index scatter:
+        # XLA lowers the scatter on TPU to a serialized update that
+        # device-traced at ~285 us/LAYER at 7b dims (r5, the 16.0-vs-7.0
+        # ms full-depth decode mystery — continuous batching pays vector
+        # pos); the where() is a plain full-array stream, and the cache
+        # read+write it costs is the same traffic the scatter already
+        # paid.
+        lane = jax.lax.broadcasted_iota(jnp.int32, (B, 1, 1, kp.shape[3]), 3)
+        hit = lane == pos[:, None, None, None]
+        kp = jnp.where(hit, kq, kp)
+        vp = jnp.where(hit, vq, vp)
+        kparam = jnp.where(hit, kpar_new, kparam)
+        vparam = jnp.where(hit, vpar_new, vparam)
     else:
         kp = jax.lax.dynamic_update_slice_in_dim(kp, kq, pos, axis=3)
         vp = jax.lax.dynamic_update_slice_in_dim(vp, vq, pos, axis=3)
