@@ -227,3 +227,56 @@ def test_hf_loader_bf16_checkpoint(tmp_path):
         want = tensors[f"model.layers.{i}.self_attn.q_proj.weight"].float().numpy()
         got = np.asarray(loaded["layers"]["wq"][i])
         assert np.array_equal(got, want)
+
+
+def test_packed_safetensors_sharded_roundtrip(tmp_path):
+    """Sharded packed export (HF shard convention: numbered files +
+    index.json weight map — the reference releases 5 GB shards,
+    flat_utils.py:97-204) roundtrips exactly; a tiny max_shard_bytes
+    forces multiple shards."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from flatquant_tpu.models.config import get_config
+    from flatquant_tpu.models.llama import init_params
+    from flatquant_tpu.quantize.bake import bake_model
+    from flatquant_tpu.quantize.spec import W4A4KV4
+    from flatquant_tpu.quantize.state import init_model_fq
+    from flatquant_tpu.serving.quantized import build_serving_params
+    from flatquant_tpu.utils import checkpoint as ckpt
+
+    cfg = get_config("tiny-llama")
+    params = init_params(cfg, seed=0)
+    fq = init_model_fq(cfg, W4A4KV4, seed=0)
+    bp, bfq = bake_model(cfg, W4A4KV4, params, fq)
+    sp = build_serving_params(cfg, W4A4KV4, bp, bfq, dtype=jnp.bfloat16)
+
+    idx = ckpt.save_packed_safetensors_sharded(
+        str(tmp_path), sp, {"w_bits": 4}, max_shard_bytes=64 * 1024)
+    assert idx.endswith(".index.json")
+    import glob
+    import json as _json
+    import os
+
+    shards = sorted(glob.glob(os.path.join(str(tmp_path), "*.safetensors")))
+    assert len(shards) > 1, "tiny shard size must force multiple shards"
+    with open(idx) as fh:
+        index = _json.load(fh)
+    assert set(index["weight_map"].values()) == {
+        os.path.basename(s) for s in shards}
+
+    loaded = ckpt.load_packed_safetensors_sharded(idx, sp)
+    for (pa, a), (pb, b) in zip(
+            jax.tree_util.tree_flatten_with_path(sp)[0],
+            jax.tree_util.tree_flatten_with_path(loaded)[0]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=str(pa))
+
+    # big shard budget -> single-file fallback, loadable via both entries
+    single = ckpt.save_packed_safetensors_sharded(
+        str(tmp_path / "one"), sp, max_shard_bytes=1 << 40)
+    assert single.endswith(".safetensors")
+    loaded1 = ckpt.load_packed_safetensors_sharded(single, sp)
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree.leaves(loaded1)[0]),
+        np.asarray(jax.tree.leaves(sp)[0]))
