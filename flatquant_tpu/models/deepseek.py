@@ -526,8 +526,8 @@ def ds_mla(cfg: DeepSeekConfig, fq_cfg, mode, lp, fqa: Optional[MLAFQ], x, cos, 
         kv_cache, pe_cache = cache
         if per_slot:
             # masked select, not an advanced-index scatter — XLA's TPU
-            # scatter serializes (~285 us/layer at 7b dims, r5 finding in
-            # serving_layer_int4cache); the select streams the cache once
+            # scatter serializes (~285 us/layer at 7b dims; three-way
+            # measurement in serving_layer_int4cache)
             row = jax.lax.broadcasted_iota(
                 jnp.int32, (B, kv_cache.shape[1], 1), 1)
             hit = row == pos[:, None, None]

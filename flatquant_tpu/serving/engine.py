@@ -227,9 +227,10 @@ def serving_layer(
         v_store = v.astype(cv.dtype)
 
     if per_slot:
-        # masked select, not an advanced-index scatter — the scatter
-        # serializes on TPU (~285 us/layer at 7b dims; see the int4-cache
-        # twin in serving_layer_int4cache)
+        # masked select — beats both the advanced-index scatter (TPU
+        # serializes it, ~285 us/layer at 7b dims) and an unrolled DUS
+        # chain (per-op overhead dominates at batch); measured three-way in
+        # serving_layer_int4cache's twin
         row = jax.lax.broadcasted_iota(jnp.int32, (B, ck.shape[1], 1, 1), 1)
         hit = row == pos[:, None, None, None]
         ck = jnp.where(hit, k_store, ck)
@@ -473,14 +474,17 @@ def serving_layer_int4cache(
             vp, vparam = write_token_paged(vp, vparam, vq[..., 0],
                                            vpar_new[..., 0], tbl, pos_vec)
     elif per_slot:
-        # each slot writes ONE token column at its own position. A
-        # vectorized masked select instead of an advanced-index scatter:
-        # XLA lowers the scatter on TPU to a serialized update that
-        # device-traced at ~285 us/LAYER at 7b dims (r5, the 16.0-vs-7.0
-        # ms full-depth decode mystery — continuous batching pays vector
-        # pos); the where() is a plain full-array stream, and the cache
-        # read+write it costs is the same traffic the scatter already
-        # paid.
+        # each slot writes ONE token column at its own position, as a
+        # vectorized masked select. All three formulations were
+        # device-measured at full 7b depth (r5):
+        #   - advanced-index scatter (r4 form): TPU serializes it,
+        #     ~285 us/LAYER — B=1 decode 16.0 ms/step vs 7.05 scalar,
+        #     B=8 114 ms (the batcher contract always uses vector pos);
+        #   - unrolled per-slot dynamic_update_slice chain: B=1 7.05 ms
+        #     but the B x 4 little ops per layer dominate at batch
+        #     (B=4 14.9, B=8 24.6 ms);
+        #   - masked select (this form): streams the cache once per
+        #     layer, wins everywhere — B=1 6.97, B=4 11.8, B=8 17.1 ms.
         lane = jax.lax.broadcasted_iota(jnp.int32, (B, 1, 1, kp.shape[3]), 3)
         hit = lane == pos[:, None, None, None]
         kp = jnp.where(hit, kq, kp)
