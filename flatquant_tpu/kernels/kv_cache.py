@@ -670,3 +670,100 @@ def chunk_attention_int4_v4(q, kp, kparam, vp, vparam, pos, sm_scale: float,
     # [B, nkv, n_rep, Sq, hd] -> [B, Sq, nh, hd]
     out = out.reshape(B, nkv, n_rep, sq, hd).transpose(0, 3, 1, 2, 4)
     return out.reshape(B, sq, nh, hd)
+
+
+# ---------------------------------------------------------------------------
+# per-slot single-token cache write (continuous-batching decode).
+#
+# Three XLA formulations were device-measured at full llama-2-7b depth
+# (r5): advanced-index scatter serializes on TPU (~285 us/LAYER); an
+# unrolled per-slot dynamic_update_slice chain pays B x 4 op overheads
+# (B=8: 24.6 ms/step); a masked select streams the whole [B, ...] cache
+# every layer (B=8: ~230 us/layer, 17.1 ms/step). This kernel writes
+# ONLY the touched bytes: the cache stays in HBM (memory_space=ANY,
+# aliased in/out), and each slot's new token column DMAs straight into
+# its [*, *, pos] lane — B x nkv x hd/2 bytes per array instead of a
+# full-cache stream. The FlashInfer append-kernel analog
+# (deploy/kernels/include/flashinfer/page.cuh) for the slot cache.
+# ---------------------------------------------------------------------------
+
+
+def _write_token_v4_kernel(pos_ref, kq_ref, kpar_ref, vq_ref, vpar_ref,
+                           kp_in, kparam_in, vp_in, vparam_in,
+                           kp_out, kparam_out, vp_out, vparam_out,
+                           cod_s, par_s, sem):
+    """Windowed read-modify-write of each slot's 128-lane window, in two
+    CONCURRENT DMA waves (all copy-ins start before any wait — a
+    serialized start/wait pairing measured 154 us vs the select's 132 at
+    B=4; lane-dim DMA slices must be 128-aligned and width-1 VMEM lane
+    stores are illegal, so the window + in-VMEM masked select is the
+    minimal legal form)."""
+    B = kq_ref.shape[0]
+
+    def plan(b):
+        # pos arrives pre-split as (window index, column): wid*128 is
+        # statically provably 128-aligned; (pos//128)*128 is not
+        win = pl.ds(pl.multiple_of(pos_ref[b, 0] * 128, 128), 128)
+        return (
+            (kq_ref, kp_out, cod_s.at[b, 0], 4 * b + 0, win),
+            (vq_ref, vp_out, cod_s.at[b, 1], 4 * b + 1, win),
+            (kpar_ref, kparam_out, par_s.at[b, 0], 4 * b + 2, win),
+            (vpar_ref, vparam_out, par_s.at[b, 1], 4 * b + 3, win),
+        )
+
+    for b in range(B):  # B is static
+        for upd, cache_out, scratch, si, win in plan(b):
+            pltpu.make_async_copy(
+                cache_out.at[b, :, :, win], scratch, sem.at[si]).start()
+    for b in range(B):
+        col = pos_ref[b, 1]
+        for upd, cache_out, scratch, si, win in plan(b):
+            pltpu.make_async_copy(
+                cache_out.at[b, :, :, win], scratch, sem.at[si]).wait()
+            lanes = jax.lax.broadcasted_iota(
+                jnp.int32, scratch.shape, scratch.ndim - 1)
+            scratch[:] = jnp.where(lanes == col, upd[b], scratch[:])
+            pltpu.make_async_copy(
+                scratch, cache_out.at[b, :, :, win], sem.at[si]).start()
+    for b in range(B):
+        for upd, cache_out, scratch, si, win in plan(b):
+            pltpu.make_async_copy(
+                scratch, cache_out.at[b, :, :, win], sem.at[si]).wait()
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def write_token_v4(kp, kparam, vp, vparam, kq, kpar, vq, vpar, pos,
+                   interpret: bool = None):
+    """Write each slot's single new token column into the v4 slot cache.
+
+    kp/vp [B, nkv, hd/2, L] u8, kparam/vparam [B, nkv, 2, L] f32 (aliased
+    and updated in place); kq/vq [B, nkv, hd/2, 1], kpar/vpar
+    [B, nkv, 2, 1]; pos [B] int32. Returns the updated four arrays,
+    bit-identical to the masked-select form."""
+    B = kp.shape[0]
+    any_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _write_token_v4_kernel,
+        out_shape=tuple(
+            jax.ShapeDtypeStruct(a.shape, a.dtype)
+            for a in (kp, kparam, vp, vparam)),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(1,),
+            in_specs=[vmem, vmem, vmem, vmem,
+                      any_spec, any_spec, any_spec, any_spec],
+            out_specs=(any_spec, any_spec, any_spec, any_spec),
+            scratch_shapes=[
+                pltpu.VMEM((B, 2, kp.shape[1], kp.shape[2], 128), kp.dtype),
+                pltpu.VMEM((B, 2, kparam.shape[1], 2, 128), kparam.dtype),
+                pltpu.SemaphoreType.DMA((4 * B,)),
+            ],
+        ),
+        # aliases: operand indices count the scalar-prefetch arg
+        # (pos=0) and the four VMEM updates (1-4); the cache operands
+        # (5-8) alias outputs 0-3 so untouched bytes never move
+        input_output_aliases={5: 0, 6: 1, 7: 2, 8: 3},
+        interpret=resolve_interpret(interpret),
+    )(jnp.stack([pos // 128, pos % 128], axis=1).astype(jnp.int32),
+      kq, kpar, vq, vpar, kp, kparam, vp, vparam)

@@ -43,17 +43,23 @@ def _batcher_programs(cfg, fq_cfg, use_kernel, max_len, compute_dtype,
     family through the same scheduler (e.g. models.deepseek.ds_batch_forward)."""
     fwd = forward_fn if forward_fn is not None else _forward
 
-    @jax.jit
+    # the cache argument is DONATED: the batcher immediately rebinds
+    # self.cache (or cache1) to the program's output, and donation is
+    # what lets write_token_v4's windowed DMA update the buffers in
+    # place — without it XLA inserts a defensive full-cache copy per
+    # call (r5 measurement: 131 vs 16.9 us per layer write-set at B=4)
+
+    @functools.partial(jax.jit, donate_argnums=(2,))
     def prefill_one(sp, tokens, cache1, last_idx):
         return fwd(cfg, fq_cfg, sp, tokens, cache1, 0, "prefill",
                    use_kernel, max_len, compute_dtype, last_idx=last_idx)
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(2,))
     def decode_multi(sp, toks, cache, pos_vec):
         return fwd(cfg, fq_cfg, sp, toks, cache, pos_vec, "decode",
                    use_kernel, max_len, compute_dtype)
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(2,))
     def chunk_one(sp, tokens, cache1, pos, last_idx):
         return fwd(cfg, fq_cfg, sp, tokens, cache1, pos, "chunk",
                    use_kernel, max_len, compute_dtype, last_idx=last_idx)

@@ -474,23 +474,34 @@ def serving_layer_int4cache(
             vp, vparam = write_token_paged(vp, vparam, vq[..., 0],
                                            vpar_new[..., 0], tbl, pos_vec)
     elif per_slot:
-        # each slot writes ONE token column at its own position, as a
-        # vectorized masked select. All three formulations were
-        # device-measured at full 7b depth (r5):
+        # each slot writes ONE token column at its own position. Four
+        # formulations device-measured at full 7b depth (r5):
         #   - advanced-index scatter (r4 form): TPU serializes it,
         #     ~285 us/LAYER — B=1 decode 16.0 ms/step vs 7.05 scalar,
         #     B=8 114 ms (the batcher contract always uses vector pos);
         #   - unrolled per-slot dynamic_update_slice chain: B=1 7.05 ms
         #     but the B x 4 little ops per layer dominate at batch
         #     (B=4 14.9, B=8 24.6 ms);
-        #   - masked select (this form): streams the cache once per
-        #     layer, wins everywhere — B=1 6.97, B=4 11.8, B=8 17.1 ms.
-        lane = jax.lax.broadcasted_iota(jnp.int32, (B, 1, 1, kp.shape[3]), 3)
-        hit = lane == pos[:, None, None, None]
-        kp = jnp.where(hit, kq, kp)
-        vp = jnp.where(hit, vq, vp)
-        kparam = jnp.where(hit, kpar_new, kparam)
-        vparam = jnp.where(hit, vpar_new, vparam)
+        #   - masked select: streams the whole cache once per layer
+        #     (B=4 131 us/layer/write-set);
+        #   - write_token_v4 (Pallas windowed DMA): touches only each
+        #     slot's 128-lane window, 16.9 us at B=4 under DONATED
+        #     buffers (the serving regime; without donation XLA inserts
+        #     a defensive full-cache copy and it degrades to the select).
+        if kp.shape[3] % 128 == 0:
+            from flatquant_tpu.kernels.kv_cache import write_token_v4
+
+            kp, kparam, vp, vparam = write_token_v4(
+                kp, kparam, vp, vparam, kq, kpar_new, vq, vpar_new, pos)
+        else:
+            # tiny test buckets (L % 128 != 0): the masked select
+            lane = jax.lax.broadcasted_iota(
+                jnp.int32, (B, 1, 1, kp.shape[3]), 3)
+            hit = lane == pos[:, None, None, None]
+            kp = jnp.where(hit, kq, kp)
+            vp = jnp.where(hit, vq, vp)
+            kparam = jnp.where(hit, kpar_new, kparam)
+            vparam = jnp.where(hit, vpar_new, vparam)
     else:
         kp = jax.lax.dynamic_update_slice_in_dim(kp, kq, pos, axis=3)
         vp = jax.lax.dynamic_update_slice_in_dim(vp, vq, pos, axis=3)

@@ -31,7 +31,7 @@ def main(batches=(1, 4, 8)):
         unstack_cache,
         unstack_serving_layers,
     )
-    from flatquant_tpu.utils.benchmark import device_compare
+    
 
     cfg, fq_cfg = _full_cfg(), _full_fq()
     sp_host, _bp = _get_params()
@@ -39,6 +39,8 @@ def main(batches=(1, 4, 8)):
     tpu = jax.devices()[0]
     sp = jax.device_put(unstack_serving_layers(sp_host), tpu)
     del sp_host
+
+    from flatquant_tpu.utils.benchmark import device_time_loop
 
     rows = []
     for B in batches:
@@ -48,15 +50,26 @@ def main(batches=(1, 4, 8)):
         pos = jnp.asarray(
             np.full((B,), 2176, np.int32) - np.arange(B, dtype=np.int32))
 
-        def dec(sp, tok, cache, pos):
-            return serving_decode_step.__wrapped__(
+        # DONATED carried cache — the batcher's serving regime (and what
+        # lets write_token_v4 update windows in place; an undonated
+        # device_compare run measures a defensive full-cache copy)
+        dec = jax.jit(
+            lambda sp, tok, cache, pos: serving_decode_step.__wrapped__(
                 cfg, fq_cfg, sp, tok, cache, pos, True, MAX_LEN,
-                jnp.bfloat16)
+                jnp.bfloat16),
+            donate_argnums=(2,))
+        _, cache = dec(sp, tok, cache, pos)
+        jax.block_until_ready(jax.tree.leaves(cache)[0])
 
-        res = device_compare({f"fd_decode_b{B}": (dec, (sp, tok, cache, pos))},
-                             iters=8,
-                             trace_dir=f"/tmp/fq_fd_tp_b{B}")
-        t = res[f"fd_decode_b{B}"]
+        def run():
+            nonlocal cache
+            out = None
+            for _ in range(8):
+                out, cache = dec(sp, tok, cache, pos)
+            jax.block_until_ready(out)
+
+        tt, n = device_time_loop(run, f"/tmp/fq_fd_tp_b{B}")
+        t = tt / n
         rows.append({"batch": B, "ms_per_step": round(t * 1e3, 3),
                      "tok_s": round(B / t, 1)})
         print(f"# B={B}: {t*1e3:.3f} ms/step, {B/t:.0f} tok/s",
